@@ -1,0 +1,26 @@
+"""NeoRadium-TPU: a TPU-native 5G NR physical-layer simulation framework.
+
+A from-scratch JAX/XLA/Pallas implementation of a complete 3GPP 5G NR PHY
+link-level simulator (downlink PDSCH chain, channel coding, fading channels,
+channel estimation/equalization, HARQ, CSI feedback), designed TPU-first:
+
+- All hot kernels are batched, static-shape JAX functions that map onto the
+  MXU/VPU; Monte-Carlo trials are ``vmap``-ed and sharded over device meshes.
+- Configuration objects are frozen, hashable Python dataclasses whose derived
+  index sets / tables are precomputed host-side with NumPy; jitted device
+  functions consume only arrays and static config.
+- Per-slot state (slot counters, channel fading state, HARQ soft buffers) is
+  an explicit pytree carried through ``lax.scan``, not object mutation.
+
+Feature parity target: InterDigitalInc/NeoRadium v0.4.0 (see SURVEY.md).
+"""
+
+__version__ = "0.1.0"
+
+from .carrier import CarrierConfig, SAMPLE_RATE
+from .modulation import Modem
+from .utils import toDb, toLinear, getMse, getNmse
+from .sequences import gold_sequence
+from . import crc
+from .ofdm import OfdmContext
+from .random import PRNG

@@ -1,0 +1,146 @@
+"""Carrier / bandwidth-part numerology math — TS 38.211 §4.2-4.4, §5.3.1.
+
+``CarrierConfig`` is a frozen, hashable dataclass: pure numerology functions
+of (numRbs, spacing, cpType). All timing tables (CP lengths, symbol lengths,
+slot lengths) are derived eagerly on the host; slot counters are NOT stored
+here — in the TPU design the slot number is an explicit loop variable/scan
+carry, not object state (cf. reference ``carrier.py:396-398, 456-462``).
+
+Behavioral parity: reference ``neoradium/carrier.py`` (BandwidthPart/Carrier):
+fixed 30.72 Msps sample rate for all numerologies (carrier.py:31-34), nFFT
+from subframe samples minus CP sum (carrier.py:147-150), normal-CP lengths
+144/2^u (+16 on symbols 0 and 7*2^u) and extended 512/2^u (carrier.py:265-270).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+# Numerology constants (TS 38.211 §4.1)
+TC = 1.0 / (480_000 * 4096)
+KAPPA = 64
+SAMPLE_RATE = int(round(1.0 / (TC * KAPPA)))  # 30,720,000 samples/s
+
+_SCS_LIST = [15, 30, 60, 120, 240, 480, 960]  # kHz, numerology u = index
+
+
+@dataclass(frozen=True)
+class CarrierConfig:
+    """A carrier with a single active bandwidth part (the common case).
+
+    Args:
+      numRbs: number of resource blocks (12 subcarriers each).
+      spacing: subcarrier spacing in kHz (15..960) or numerology u (0..6).
+      cpType: 'normal' or 'extended' (extended only valid for 60 kHz).
+      startRb: first RB relative to CRB 0.
+      cellId: physical cell id (used in default scrambling identities).
+    """
+
+    numRbs: int = 50
+    spacing: int = 15
+    cpType: str = "normal"
+    startRb: int = 0
+    cellId: int = 1
+
+    def __post_init__(self):
+        if self.spacing in _SCS_LIST:
+            u = _SCS_LIST.index(self.spacing)
+        elif self.spacing in range(7):
+            u = self.spacing
+            object.__setattr__(self, "spacing", _SCS_LIST[u])
+        else:
+            raise ValueError(f"Invalid spacing {self.spacing!r}")
+        object.__setattr__(self, "cpType", self.cpType.lower())
+        if self.cpType not in ("normal", "extended"):
+            raise ValueError("cpType must be 'normal' or 'extended'")
+        object.__setattr__(self, "_u", u)
+        if self.numRbs >= self.nFFT // 12:
+            raise ValueError(f"numRbs must be < nFFT/12 (= {self.nFFT // 12})")
+
+    # ---------------------------------------------------------------- core
+    @property
+    def u(self) -> int:
+        return self._u
+
+    @property
+    def sampleRate(self) -> int:
+        return SAMPLE_RATE
+
+    @property
+    def symbolsPerSlot(self) -> int:
+        return 14 if self.cpType == "normal" else 12
+
+    @property
+    def slotsPerSubFrame(self) -> int:
+        return 1 << self.u
+
+    @property
+    def slotsPerFrame(self) -> int:
+        return 10 * self.slotsPerSubFrame
+
+    @property
+    def symbolsPerSubFrame(self) -> int:
+        return self.symbolsPerSlot * self.slotsPerSubFrame
+
+    @property
+    def numSubcarriers(self) -> int:
+        return 12 * self.numRbs
+
+    @property
+    def bandwidth(self) -> float:
+        return self.numSubcarriers * self.spacing * 1000.0
+
+    def cpLen(self, symIdxInSubframe: int) -> int:
+        """CP length in samples for a symbol index within the subframe."""
+        if symIdxInSubframe >= self.symbolsPerSubFrame:
+            raise ValueError("symbol index beyond subframe")
+        if self.cpType == "normal":
+            n = 144 >> self.u
+            if symIdxInSubframe in (0, 7 << self.u):
+                n += 16
+            return n
+        return 512 >> self.u
+
+    @cached_property
+    def cpLensSubframe(self) -> np.ndarray:
+        """(symbolsPerSubFrame,) int32 CP lengths over one subframe."""
+        return np.asarray([self.cpLen(l) for l in range(self.symbolsPerSubFrame)], np.int32)
+
+    @property
+    def nFFT(self) -> int:
+        cp_total = int(np.sum([
+            (144 >> self.u) + (16 if l in (0, 7 << self.u) else 0)
+            if self.cpType == "normal" else (512 >> self.u)
+            for l in range(self.symbolsPerSubFrame)
+        ]))
+        nfft = (SAMPLE_RATE // 1000 - cp_total) // self.symbolsPerSubFrame
+        assert nfft & (nfft - 1) == 0, f"nFFT {nfft} not a power of 2"
+        return int(nfft)
+
+    @cached_property
+    def symbolLensSubframe(self) -> np.ndarray:
+        """(symbolsPerSubFrame,) total samples (CP + nFFT) per subframe symbol."""
+        return self.cpLensSubframe + self.nFFT
+
+    def slotLen(self, slotNoInSubFrame: int = 0) -> int:
+        s = slotNoInSubFrame % self.slotsPerSubFrame
+        ls = slice(s * self.symbolsPerSlot, (s + 1) * self.symbolsPerSlot)
+        return int(self.symbolLensSubframe[ls].sum())
+
+    def symLens(self, slotNoInSubFrame: int = 0) -> np.ndarray:
+        """(symbolsPerSlot,) symbol lengths for a given slot within the subframe."""
+        s = slotNoInSubFrame % self.slotsPerSubFrame
+        start = s * self.symbolsPerSlot
+        return self.symbolLensSubframe[start:start + self.symbolsPerSlot]
+
+    def slotNoInFrame(self, slotNo: int) -> int:
+        return slotNo % self.slotsPerFrame
+
+    def slotNoInSubFrame(self, slotNo: int) -> int:
+        return slotNo % self.slotsPerSubFrame
+
+    @property
+    def dataTimeRatio(self) -> float:
+        return self.nFFT / self.symbolLensSubframe.mean()

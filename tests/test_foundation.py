@@ -1,0 +1,160 @@
+"""Foundation tests: Gold sequences, CRC, modulation, carrier math, OFDM.
+
+Golden fixtures in tests/golden/ were produced by the reference implementation
+(see tools/make_golden.py) — the same oracle strategy the reference uses
+against MATLAB 5G Toolbox.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.sequences import gold_sequence, gold_sequence_batch
+from neoradium_tpu import crc as crc_mod
+from neoradium_tpu.modulation import Modem
+from neoradium_tpu.carrier import CarrierConfig, SAMPLE_RATE
+from neoradium_tpu.ofdm import OfdmContext
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load(name):
+    return np.load(os.path.join(GOLDEN, name))
+
+
+# ---------------------------------------------------------------- sequences
+def test_gold_sequence_golden():
+    d = _load("gold_crc.npz")
+    got = gold_sequence_batch(d["cinits"], 2048)
+    assert np.array_equal(got, d["gold"])
+
+
+def test_gold_sequence_single():
+    d = _load("gold_crc.npz")
+    assert np.array_equal(gold_sequence(int(d["cinits"][2]), 500), d["gold"][2, :500])
+
+
+# ---------------------------------------------------------------- CRC
+@pytest.mark.parametrize("poly", ["6", "11", "16", "24A", "24B", "24C"])
+def test_crc_golden(poly):
+    d = _load("gold_crc.npz")
+    got = crc_mod.crc(d["crc_in"], poly)
+    assert np.array_equal(got, d[f"crc_{poly}"])
+
+
+@pytest.mark.parametrize("poly", ["16", "24A", "24B"])
+def test_crc_matrix_matches_host(poly):
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (5, 1000)).astype(np.uint8)
+    host = crc_mod.crc(bits, poly)
+    mat = crc_mod.crc_matrix(1000, poly)
+    dev = np.asarray(crc_mod.crc_device(jnp.asarray(bits), jnp.asarray(mat)))
+    assert np.array_equal(host, dev)
+
+
+def test_crc_append_check_roundtrip():
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, (3, 128)).astype(np.uint8)
+    with_crc = crc_mod.append_crc(bits, "24A")
+    assert np.all(crc_mod.check_crc(with_crc, "24A"))
+    corrupted = with_crc.copy()
+    corrupted[:, 5] ^= 1
+    assert not np.any(crc_mod.check_crc(corrupted, "24A"))
+    # device check
+    mat = crc_mod.crc_matrix(with_crc.shape[-1], "24A")
+    ok = np.asarray(crc_mod.check_crc_device(jnp.asarray(with_crc), jnp.asarray(mat)))
+    assert np.all(ok)
+
+
+# ---------------------------------------------------------------- modulation
+@pytest.mark.parametrize("mod", ["BPSK", "QPSK", "16QAM", "64QAM", "256QAM", "1024QAM"])
+def test_modulation_golden(mod):
+    d = _load("modulation.npz")
+    m = Modem(mod)
+    assert np.allclose(m.constellation, d[f"{mod}_const"])
+    syms = np.asarray(m.modulate(jnp.asarray(d[f"{mod}_bits"])))
+    assert np.allclose(syms, d[f"{mod}_syms"], atol=1e-6)
+    noisy = jnp.asarray(d[f"{mod}_noisy"].astype(np.complex64))
+    llrs = np.asarray(m.llrs_from_symbols(noisy, 0.02))
+    assert np.allclose(llrs, d[f"{mod}_llrs"], rtol=3e-3, atol=3e-3)
+    llrs_exact = np.asarray(m.llrs_from_symbols(noisy, 0.02, use_max=False))
+    assert np.allclose(llrs_exact, d[f"{mod}_llrs_exact"], rtol=3e-3, atol=3e-3)
+
+
+def test_modulate_demodulate_roundtrip():
+    rng = np.random.default_rng(5)
+    for mod in ["QPSK", "64QAM"]:
+        m = Modem(mod)
+        bits = rng.integers(0, 2, (3, 40 * m.qm)).astype(np.int8)
+        syms = m.modulate(jnp.asarray(bits))
+        back = np.asarray(m.demodulate(syms, 0.01))
+        assert np.array_equal(back, bits)
+
+
+# ---------------------------------------------------------------- carrier
+def test_carrier_numerology():
+    c = CarrierConfig(numRbs=25, spacing=30)
+    assert c.u == 1 and c.nFFT == 1024 and c.symbolsPerSlot == 14
+    assert c.slotsPerSubFrame == 2 and c.slotsPerFrame == 20
+    assert SAMPLE_RATE == 30_720_000
+    # CP lengths: long CP on symbols 0 and 14 of the subframe
+    assert c.cpLen(0) == 88 and c.cpLen(1) == 72 and c.cpLen(14) == 88
+    assert c.slotLen(0) == SAMPLE_RATE // 2000
+
+    c15 = CarrierConfig(numRbs=52, spacing=15)
+    assert c15.nFFT == 2048
+    assert c15.slotLen(0) == SAMPLE_RATE // 1000
+
+    ce = CarrierConfig(numRbs=20, spacing=60, cpType="extended")
+    assert ce.symbolsPerSlot == 12
+    assert all(cl == 512 // 4 for cl in ce.cpLensSubframe)
+
+
+def test_carrier_validation():
+    with pytest.raises(ValueError):
+        CarrierConfig(numRbs=25, spacing=17)
+    with pytest.raises(ValueError):
+        CarrierConfig(numRbs=2000, spacing=15)
+    with pytest.raises(ValueError):
+        CarrierConfig(numRbs=25, spacing=30, cpType="bogus")
+
+
+# ---------------------------------------------------------------- OFDM
+@pytest.mark.parametrize("tag", ["a", "b", "c"])
+def test_ofdm_golden(tag):
+    d = _load("ofdm.npz")
+    numRbs, spacing, ext = d[f"{tag}_cfg"]
+    c = CarrierConfig(numRbs=int(numRbs), spacing=int(spacing),
+                      cpType="extended" if ext else "normal")
+    ctx = OfdmContext(c, 0, 1)
+    grid = jnp.asarray(d[f"{tag}_grid"])
+    wf_none = np.asarray(ctx.modulate(grid, windowing=False))
+    assert np.abs(wf_none - d[f"{tag}_wf_none"]).max() < 1e-5
+    wf_std = np.asarray(ctx.modulate(grid, windowing=True))
+    assert np.abs(wf_std - d[f"{tag}_wf_std"]).max() < 1e-5
+    rx = np.asarray(ctx.demodulate(jnp.asarray(d[f"{tag}_wf_none"])))
+    assert np.abs(rx - d[f"{tag}_rx"]).max() < 1e-4
+
+
+def test_ofdm_loopback_nmse():
+    """Mirror of the reference's cdlTiming loopback check (NMSE ~ 1e-13 at f32)."""
+    from neoradium_tpu.utils import getNmse
+    rng = np.random.default_rng(6)
+    c = CarrierConfig(numRbs=25, spacing=30)
+    ctx = OfdmContext(c)
+    grid = (rng.normal(size=(8, 14, 300)) + 1j * rng.normal(size=(8, 14, 300))).astype(np.complex64)
+    out = ctx.demodulate(ctx.modulate(jnp.asarray(grid), windowing=False))
+    nmse = float(getNmse(jnp.asarray(grid), out))
+    assert nmse < 1e-10
+
+
+def test_ofdm_batched_leading_axes():
+    c = CarrierConfig(numRbs=25, spacing=30)
+    ctx = OfdmContext(c)
+    rng = np.random.default_rng(7)
+    grid = (rng.normal(size=(3, 2, 14, 300)) + 1j * rng.normal(size=(3, 2, 14, 300))).astype(np.complex64)
+    wf = ctx.modulate(jnp.asarray(grid))
+    assert wf.shape == (3, 2, ctx.numSamples)
+    rx = ctx.demodulate(wf)
+    assert rx.shape == grid.shape

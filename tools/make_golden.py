@@ -1,0 +1,131 @@
+"""Generate golden test fixtures by running the reference implementation.
+
+The reference (read-only at /root/reference) serves as the behavioral oracle,
+exactly as it itself uses MATLAB 5G Toolbox ``.mat`` tensors as its oracle
+(reference ``Playground/CompareWithMatlab/``). Outputs land in
+``tests/golden/*.npz`` and are committed; tests never import the reference.
+
+Run from the repo root:  python tools/make_golden.py
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+
+OUT = "tests/golden"
+
+
+def gold_and_crc():
+    from neoradium.utils import goldSequence
+    from neoradium.chancodebase import ChanCodeBase
+
+    rng = np.random.default_rng(7)
+    cinits = [1, 301, 0x12345, 2**31 - 1, 911]
+    gold = np.stack([np.array(goldSequence(c, 2048), dtype=np.uint8) for c in cinits])
+
+    crc_in = rng.integers(0, 2, (4, 300)).astype(np.uint8)
+    crcs = {}
+    for poly in ["6", "11", "16", "24A", "24B", "24C"]:
+        crcs[f"crc_{poly}"] = ChanCodeBase.getCrc(crc_in.copy(), poly).astype(np.uint8)
+    np.savez_compressed(f"{OUT}/gold_crc.npz",
+                        cinits=np.array(cinits, dtype=np.int64), gold=gold,
+                        crc_in=crc_in, **crcs)
+
+
+def modulation():
+    from neoradium.modulation import Modem
+
+    rng = np.random.default_rng(8)
+    out = {}
+    for mod in ["BPSK", "QPSK", "16QAM", "64QAM", "256QAM", "1024QAM"]:
+        m = Modem(mod)
+        bits = rng.integers(0, 2, 24 * m.qm).astype(np.int8)
+        syms = m.modulate(bits)
+        noisy = syms + 0.05 * (rng.normal(size=syms.shape) + 1j * rng.normal(size=syms.shape))
+        llrs = m.getLLRsFromSymbols(noisy, 0.02)
+        llrs_exact = m.getLLRsFromSymbols(noisy, 0.02, useMax=False)
+        out[f"{mod}_const"] = m.constellation
+        out[f"{mod}_bits"] = bits
+        out[f"{mod}_syms"] = syms
+        out[f"{mod}_noisy"] = noisy
+        out[f"{mod}_llrs"] = llrs
+        out[f"{mod}_llrs_exact"] = llrs_exact
+    np.savez_compressed(f"{OUT}/modulation.npz", **out)
+
+
+def ofdm():
+    from neoradium.carrier import Carrier
+
+    rng = np.random.default_rng(9)
+    out = {}
+    for tag, (numRbs, spacing, cp) in {
+        "a": (25, 30, "normal"), "b": (51, 30, "normal"), "c": (20, 60, "extended"),
+    }.items():
+        c = Carrier(numRbs=numRbs, spacing=spacing, cpType=cp)
+        g = c.createGrid(2)
+        data = rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape)
+        g.grid[:] = data
+        wf = c.createGrid(2)
+        wf.grid[:] = data
+        w_none = g.ofdmModulate(windowing="NONE")
+        w_std = wf.ofdmModulate(windowing="STD")
+        rx = w_none.ofdmDemodulate(c.curBwp)
+        out[f"{tag}_cfg"] = np.array([numRbs, spacing, 1 if cp == "extended" else 0])
+        out[f"{tag}_grid"] = data
+        out[f"{tag}_wf_none"] = w_none.waveform
+        out[f"{tag}_wf_std"] = w_std.waveform
+        out[f"{tag}_rx"] = rx.grid
+    np.savez_compressed(f"{OUT}/ofdm.npz", **out)
+
+
+def ldpc():
+    from neoradium.ldpc import LdpcEncoder, LdpcDecoder
+
+    rng = np.random.default_rng(10)
+    out = {}
+    cases = {
+        # (tbs_payload_bits, baseGraph, modulation, rate, rv, layers)
+        "s1": (3000, 1, "16QAM", 490 / 1024, 0, 2),   # single CB after seg? -> C=1
+        "s2": (20000, 1, "QPSK", 449 / 1024, 0, 1),   # multi-CB
+        "s3": (2000, 2, "QPSK", 193 / 1024, 0, 1),    # BG2
+        "s4": (8000, 1, "64QAM", 658 / 1024, 2, 2),   # rv=2
+    }
+    for tag, (tbs, bgn, mod, rate, rv, layers) in cases.items():
+        enc = LdpcEncoder(baseGraphNo=bgn, modulation=mod, txLayers=layers, targetRate=rate)
+        txb = rng.integers(0, 2, tbs).astype(np.int8)
+        tbWithCrc = enc.appendCrc(txb, "24A")
+        cbs = enc.doSegmentation(tbWithCrc)
+        coded = enc.encode(cbs)
+        g = int(np.ceil(tbs / rate))
+        rm = enc.rateMatch(coded, g, rv=rv)
+        # decoder path: bipolar LLRs from the bits (noiseless)
+        dec = LdpcDecoder(baseGraphNo=bgn, modulation=mod, txLayers=layers)
+        llrs = 1.0 - 2.0 * rm.astype(np.float64)
+        # Temporarily emulate rv!=0 recovery only for rv=0 cases
+        rec = dec.recoverRate(llrs, tbs)
+        decoded = dec.decode(rec, numIter=5)
+        merged, crcMatch = dec.checkCrcAndMerge(decoded)
+        out[f"{tag}_cfg"] = np.array([tbs, bgn, rv, layers, enc.liftingSize, enc.numCodeBlocks,
+                                      enc.codeBlockSize, enc.numFillerBits, g])
+        out[f"{tag}_mod"] = np.frombuffer(mod.encode(), dtype=np.uint8)
+        out[f"{tag}_rate"] = np.array([rate])
+        out[f"{tag}_txb"] = txb
+        out[f"{tag}_cbs"] = cbs.astype(np.int8)
+        out[f"{tag}_coded"] = coded.astype(np.int8)
+        out[f"{tag}_rm"] = rm.astype(np.int8)
+        out[f"{tag}_rec"] = rec
+        out[f"{tag}_decoded"] = decoded.astype(np.int8)
+        out[f"{tag}_merged"] = merged.astype(np.int8)
+        out[f"{tag}_crc"] = np.array(crcMatch, dtype=bool)
+    np.savez_compressed(f"{OUT}/ldpc.npz", **out)
+
+
+if __name__ == "__main__":
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    gold_and_crc()
+    modulation()
+    ofdm()
+    ldpc()
+    print("golden fixtures written to", OUT)
