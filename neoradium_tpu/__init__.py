@@ -23,4 +23,5 @@ from .utils import toDb, toLinear, getMse, getNmse
 from .sequences import gold_sequence
 from . import crc
 from .ofdm import OfdmContext
+from .coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
 from .random import PRNG
