@@ -1,0 +1,57 @@
+"""Headline benchmark: end-to-end PDSCH slots/s on one TPU chip.
+
+Runs the reference's throughput-notebook configuration (51 PRB, 30 kHz SCS,
+2 layers, 16QAM, R=490/1024 — Playground/PDSCH/PDSCH-Throughput.ipynb) as a
+full TX->RX chain (LDPC encode -> ... -> OFDM -> AWGN -> ... -> LDPC decode)
+batched over Monte-Carlo trials, and reports slots/s against the reference's
+~6.3 slots/s single-core CPU baseline (BASELINE.md row 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BASELINE_SLOTS_PER_S = 6.3  # reference PDSCH-Throughput.ipynb (~158s/1000 slots)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from neoradium_tpu.carrier import CarrierConfig
+    from neoradium_tpu.sim.link import PdschLinkSim
+    from neoradium_tpu.sim.sweep import make_point_fn, make_trial_keys
+
+    sim = PdschLinkSim(
+        CarrierConfig(numRbs=51, spacing=30),
+        pdschKw=dict(numLayers=2, modulation="16QAM"),
+        dmrsKw=dict(configType=2, additionalPos=2),
+        codeRate=490 / 1024, domain="time")
+    point_fn = make_point_fn(sim.make_trial_fn())
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    keys = make_trial_keys(7, batch)
+    snr = jnp.float32(6.0)
+
+    # compile (excluded from timing)
+    jax.block_until_ready(point_fn(keys, snr))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(point_fn(keys, snr))
+    dt = (time.perf_counter() - t0) / reps
+    slots_per_s = batch / dt
+
+    print(json.dumps({
+        "metric": "pdsch_e2e_slots_per_s",
+        "value": round(slots_per_s, 2),
+        "unit": "slots/s",
+        "vs_baseline": round(slots_per_s / BASELINE_SLOTS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

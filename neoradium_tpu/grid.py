@@ -1,0 +1,103 @@
+"""Resource grid: RE-type bookkeeping (host) + functional grid ops (device).
+
+TPU design split (cf. SURVEY.md §7): the reference's stateful ``Grid`` object
+(``grid.py:47``) carrying per-RE type bytes and string descriptors becomes:
+
+- ``HostGrid``: a NumPy planning structure used ONLY at config time to compute
+  static index sets (pilot positions, data positions, reserved REs). It mirrors
+  the reference's typed ``__setitem__`` semantics (grid.py:321-340) so the
+  allocation *order* — which defines codeword-to-RE mapping — is identical.
+- Pure jitted device functions operating on plain complex arrays
+  (..., P, L, K): ``precode``, ``apply_channel``, ``add_noise``/power helpers.
+
+RE content types follow the reference registry (grid.py:56-77).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .utils import toLinear
+
+RE_TYPES = ["UNASSIGNED", "RESERVED", "NO_DATA", "DMRS", "PTRS", "CSIRS_NZP",
+            "CSIRS_ZP", "DATA", "PDSCH", "PDCCH", "PUSCH", "PUCCH",
+            "PRECODED_MIX", "RX_DATA"]
+RET = {name: i for i, name in enumerate(RE_TYPES)}
+
+
+class HostGrid:
+    """Host-side planning grid: complex values + RE-type ids (NumPy only)."""
+
+    def __init__(self, numPlanes: int, numSymbols: int, numSubcarriers: int):
+        self.grid = np.zeros((numPlanes, numSymbols, numSubcarriers), np.complex128)
+        self.reTypeIds = np.full((numPlanes, numSymbols, numSubcarriers),
+                                 RET["UNASSIGNED"], np.uint8)
+
+    @property
+    def shape(self):
+        return self.grid.shape
+
+    def set(self, p, l, k, value, retName: str):
+        self.grid[p, l, k] = value
+        self.reTypeIds[p, l, k] = RET[retName]
+
+    def re_type_at(self, p, l, k) -> str:
+        return RE_TYPES[self.reTypeIds[p, l, k]]
+
+    def indexes_of(self, retName: str):
+        return np.where(self.reTypeIds == RET[retName])
+
+    def stats(self) -> dict:
+        out = {"GridSize": int(self.grid.size)}
+        for name, rid in RET.items():
+            n = int(np.count_nonzero(self.reTypeIds == rid))
+            if n:
+                out[name] = n
+        return out
+
+
+# ---------------------------------------------------------------- device ops
+def precode(grid: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Apply precoder to grid (..., Nl, L, K).
+
+    f: (Nt, Nl) wideband, or (K, Nt, Nl) per-subcarrier (PRG precoding
+    expanded to subcarriers host-side). Returns (..., Nt, L, K).
+    Parity: reference grid.py:456-518.
+    """
+    if f.ndim == 2:
+        return jnp.einsum("tl,...lsk->...tsk", f, grid)
+    return jnp.einsum("ktl,...lsk->...tsk", f, grid)
+
+
+def apply_channel_freq(grid: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Frequency-domain channel: grid (..., Nt, L, K) x h (..., L, K, Nr, Nt)
+    -> (..., Nr, L, K). Parity: reference grid.py:978-1018."""
+    return jnp.einsum("...lkrt,...tlk->...rlk", h, grid)
+
+
+def grid_re_power(grid: jnp.ndarray, nFFT: int) -> jnp.ndarray:
+    """Average RE power convention of reference grid.py:1021-1025 (var/nFFT^2)."""
+    x = grid.reshape(grid.shape[:-3] + (-1,))
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    return jnp.mean(jnp.abs(x - mean) ** 2, axis=-1) / (nFFT ** 2)
+
+
+def grid_noise_std(grid: jnp.ndarray, snr: float) -> jnp.ndarray:
+    """Noise std for a target linear SNR using measured grid power
+    (reference grid.py:1028-1046)."""
+    x = grid.reshape(grid.shape[:-3] + (-1,))
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.abs(x - mean) ** 2, axis=-1)
+    return jnp.sqrt(var / snr)
+
+
+def noise_std_for_grid_snr(snrDb: float, numRx: int) -> float:
+    """MATLAB-convention grid noise std: sigma^2 = 1/(Nr * SNR)
+    (reference grid.py:1184)."""
+    return float(1.0 / np.sqrt(toLinear(snrDb) * numRx))
+
+
+def noise_std_for_waveform_snr(snrDb: float, numRx: int, nFFT: int) -> float:
+    """MATLAB-convention waveform noise std: sigma^2 = 1/(Nr * nFFT * SNR)
+    (reference waveform.py:289)."""
+    return float(1.0 / np.sqrt(toLinear(snrDb) * numRx * nFFT))

@@ -1,0 +1,417 @@
+"""PDSCH — physical downlink shared channel. TS 38.211 §7.3.1, TS 38.214 §5.1.
+
+TPU design: a ``PdschConfig`` validates the full reference parameter surface
+(pdsch.py:151-426) and, per slot number, bakes a ``PdschSlotPlan`` — all RE
+allocation, DMRS pilot values, layer-mapping order, scrambling sequences and
+VRB->PRB interleaving collapsed into static flat gather/scatter index arrays.
+The jitted device path is then:
+
+- TX ``populate``: XOR scramble (constant seq) -> QAM gather -> ONE scatter
+  into the pilot-preloaded grid.
+- RX ``extract_llrs``: ONE gather -> batched LLR demod -> descramble multiply
+  -> per-RE LLR scaling.
+
+Behavioral parity: reference ``neoradium/pdsch.py`` — allocation order
+(pdsch.py:833-852), layer mapping (pdsch.py:619-639), scrambling cInit
+rnti*2^15 + q*2^14 + nID (pdsch.py:603-616), VRB->PRB interleaving
+(pdsch.py:554-580), TBS per TS 38.214 §5.1.3.2 (pdsch.py:1168-1245),
+SVD precoder (pdsch.py:1080-1165).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..carrier import CarrierConfig
+from ..grid import HostGrid, RET, RE_TYPES
+from ..modulation import Modem
+from ..sequences import gold_sequence
+from .dmrs import DmrsConfig
+
+# TS 38.214 Table 5.1.3.2-1 (TBS for Ninfo <= 3824)
+_TBS_TABLE = np.asarray([
+    24, 32, 40, 48, 56, 64, 72, 80, 88, 96, 104, 112, 120, 128, 136, 144, 152,
+    160, 168, 176, 184, 192, 208, 224, 240, 256, 272, 288, 304, 320, 336, 352,
+    368, 384, 408, 432, 456, 480, 504, 528, 552, 576, 608, 640, 672, 704, 736,
+    768, 808, 848, 888, 928, 984, 1032, 1064, 1128, 1160, 1192, 1224, 1256,
+    1288, 1320, 1352, 1416, 1480, 1544, 1608, 1672, 1736, 1800, 1864, 1928,
+    2024, 2088, 2152, 2216, 2280, 2408, 2472, 2536, 2600, 2664, 2728, 2792,
+    2856, 2976, 3104, 3240, 3368, 3496, 3624, 3752, 3824], np.int32)
+
+
+class ReservedRbSet:
+    """Reserved RB/symbol patterns over slots — TS 38.214 §5.1.4.1.
+
+    Parity: reference pdsch.py:40-142 (bitmap strings or index lists; a
+    pattern 'unit' is one slot, or two when symbol indices exceed the slot).
+    """
+
+    def __init__(self, symbolsPerSlot: int, rbs=(), symbols=(), pattern=(1,)):
+        self.slotLen = symbolsPerSlot
+        if isinstance(rbs, str):
+            rbs = [i for i, b in enumerate(rbs[::-1]) if b == "1"]
+        self.rbs = list(rbs)
+        if isinstance(symbols, str):
+            self.symLen = len(symbols)
+            symbols = [i for i, b in enumerate(symbols[::-1]) if b == "1"]
+            if self.symLen not in (self.slotLen, 2 * self.slotLen):
+                raise ValueError("symbols bitmap length must be 1 or 2 slots")
+        else:
+            symbols = list(symbols)
+            self.symLen = self.slotLen
+            if symbols and max(symbols) >= self.slotLen:
+                self.symLen = 2 * self.slotLen
+        self.symbols = symbols
+        if isinstance(pattern, str):
+            self.patLen = len(pattern)
+            pattern = [i for i, b in enumerate(pattern[::-1]) if b == "1"]
+        else:
+            pattern = list(pattern)
+            self.patLen = next(p for p in (1, 2, 4, 5, 8, 10, 20, 40)
+                               if max(pattern) + 1 <= p)
+        self.pattern = pattern
+        if self.patLen not in (1, 2, 4, 5, 8, 10, 20, 40):
+            raise ValueError("pattern length must be one of 1,2,4,5,8,10,20,40")
+
+    def reserved_symbols(self, slotNo: int) -> list[int]:
+        """Symbols reserved in this slot (empty if pattern inactive)."""
+        if not self.rbs or not self.symbols:
+            return []
+        if self.symLen == self.slotLen:
+            if (slotNo % self.patLen) not in self.pattern:
+                return []
+            return self.symbols
+        if ((slotNo // 2) % self.patLen) not in self.pattern:
+            return []
+        if slotNo % 2 == 0:
+            return [x for x in self.symbols if x < self.slotLen]
+        return [x - self.slotLen for x in self.symbols if x >= self.slotLen]
+
+
+class PdschConfig:
+    """Full PDSCH configuration (validated eagerly, reference-compatible)."""
+
+    def __init__(self, carrier: CarrierConfig, **kwargs):
+        self.carrier = carrier
+        self.mappingType = kwargs.get("mappingType", "A")
+        if self.mappingType not in ("A", "B"):
+            raise ValueError(f"Unsupported mapping type {self.mappingType!r}")
+        self.numLayers = kwargs.get("numLayers", 1)
+        if self.numLayers not in range(1, 9):
+            raise ValueError("numLayers must be in [1..8]")
+        self.numCW = 2 if self.numLayers > 4 else 1
+
+        modulation = kwargs.get("modulation", "16QAM")
+        if isinstance(modulation, str):
+            modulation = self.numCW * [modulation]
+        modulation = (list(modulation) * 2)[: self.numCW]
+        self.modems = [Modem(modulation[0])]
+        if self.numCW > 1:
+            self.modems.append(self.modems[0] if modulation[0] == modulation[1]
+                               else Modem(modulation[1]))
+
+        # ---- symbol allocation (sliv > symStart/symLen > symSet > default)
+        sliv = kwargs.get("sliv")
+        symStart, symLen = kwargs.get("symStart"), kwargs.get("symLen")
+        if sliv is not None:
+            s, l = sliv % 14, sliv // 14 + 1
+            if s + l > 14:
+                s, l = 13 - s, 16 - l
+            self.symSet = np.arange(s, s + l, dtype=np.int32)
+        elif symStart is not None and symLen is not None:
+            self.symSet = np.arange(symStart, symStart + symLen, dtype=np.int32)
+        else:
+            if self.mappingType == "A":
+                default = range(carrier.symbolsPerSlot)
+            elif carrier.cpType == "normal":
+                default = range(13)
+            else:
+                default = range(6)
+            self.symSet = np.sort(np.asarray(kwargs.get("symSet", list(default)),
+                                             np.int32))
+        self.prbSet = np.sort(np.asarray(
+            kwargs.get("prbSet", list(range(carrier.numRbs))), np.int32))
+        if self.prbSet[-1] > carrier.numRbs or self.prbSet[0] < 0:
+            raise ValueError(f"prbSet values must be in [0..{carrier.numRbs}]")
+
+        # TS 38.214 Table 5.1.2.1-1 validity
+        s, l, m = int(self.symSet[0]), len(self.symSet), carrier.symbolsPerSlot
+        if self.mappingType == "A":
+            if l not in range(3, m + 1) or (s + l) not in range(3, m + 1):
+                raise ValueError(f"Invalid symbol allocation s={s} l={l} (type A)")
+        elif carrier.cpType == "normal":
+            if s not in range(13) or l not in range(2, 14) or (s + l) not in range(2, 15):
+                raise ValueError(f"Invalid symbol allocation s={s} l={l} (type B)")
+        else:
+            if s not in range(11) or l not in (2, 4, 6) or (s + l) not in range(2, m + 1):
+                raise ValueError(f"Invalid symbol allocation s={s} l={l} (type B ext)")
+
+        self.interleavingBundleSize = kwargs.get("interleavingBundleSize", 0)
+        if self.interleavingBundleSize not in (0, 2, 4):
+            raise ValueError("interleavingBundleSize must be 0, 2, or 4")
+        self.rnti = kwargs.get("rnti", 1)
+        self.nID = kwargs.get("nID", 1)
+        self.prgSize = kwargs.get("prgSize", 0)
+        if self.prgSize not in (0, 2, 4):
+            raise ValueError("prgSize must be 0 (wideband), 2, or 4")
+        self.reservedRbSets = kwargs.get("reservedRbSets", [])
+        self.reservedReMap = kwargs.get("reservedReMap", [])
+
+        self.portSet = list(kwargs.get("portSet", range(self.numLayers)))
+        self.dmrs: DmrsConfig | None = None
+        self._plans: dict[int, PdschSlotPlan] = {}
+
+    # ------------------------------------------------------------- DMRS
+    def setDMRS(self, dmrs: DmrsConfig | None = None, **kwargs):
+        if dmrs is None:
+            portSet = kwargs.pop("portSet", None)
+            dmrs = DmrsConfig(**kwargs)
+            if portSet is not None:
+                if len(portSet) != self.numLayers:
+                    raise ValueError("portSet length must match numLayers")
+                self.portSet = list(portSet)
+        self.dmrs = dmrs
+        # validate first PDSCH symbol vs typeA1stPos (reference dmrs.py:282)
+        if (self.symSet[0] not in (0, 1, 2)) and not (self.symSet[0] == 3 and dmrs.typeA1stPos == 3):
+            raise ValueError(f"Invalid symbol allocation start={self.symSet[0]} for DMRS")
+        self._plans.clear()
+
+    # ------------------------------------------------------------- mapping
+    def vrb_to_prb(self) -> np.ndarray:
+        """VRB->PRB interleaving (TS 38.211 §7.3.1.6); identity if disabled."""
+        L = self.interleavingBundleSize
+        if L == 0:
+            return self.prbSet
+        start = self.carrier.startRb
+        numBundles = int(np.ceil((self.carrier.numRbs + start % L) / L))
+        rr = 2
+        cc = numBundles // rr
+        f = np.zeros(numBundles, np.int32)
+        f[: rr * cc] = np.arange(rr * cc).reshape(rr, cc).T.reshape(-1)
+        f[numBundles - 1] = numBundles - 1
+        d0 = start % L
+        prb = np.asarray([j * L + b for j in f for b in range(L)], np.int32)
+        prb = prb[d0: d0 + self.carrier.numRbs] - d0
+        return prb[self.prbSet]
+
+    def slot_map(self, slotNo: int) -> list[list[int]]:
+        prbIdx = self.vrb_to_prb().tolist()
+        m = [[] if sym not in self.symSet else list(prbIdx)
+             for sym in range(self.carrier.symbolsPerSlot)]
+        for rset in self.reservedRbSets:
+            resSyms = rset.reserved_symbols(slotNo)
+            for sym in resSyms:
+                m[sym] = [rb for rb in m[sym] if rb not in rset.rbs]
+        return m
+
+    def plan(self, slotNo: int = 0) -> "PdschSlotPlan":
+        key = self.carrier.slotNoInFrame(slotNo)
+        # Reserved patterns may have periodicity beyond a frame; include slot
+        # pattern phase in the key.
+        for rset in self.reservedRbSets:
+            key = (key, slotNo % (rset.patLen * (2 if rset.symLen > rset.slotLen else 1)))
+        if key not in self._plans:
+            self._plans[key] = PdschSlotPlan(self, slotNo)
+        return self._plans[key]
+
+    # ------------------------------------------------------------- TBS
+    def getTxBlockSize(self, codeRates, xOverhead: int = 0, scaleFactor: float = 1.0):
+        """Transport block size(s) per TS 38.214 §5.1.3.2."""
+        if isinstance(codeRates, (float, np.floating)):
+            codeRates = [codeRates]
+        codeRates = (list(codeRates) * 2)[: self.numCW]
+        if scaleFactor not in (0.25, 0.5, 1.0):
+            raise ValueError("scaleFactor must be 0.25, 0.5, or 1")
+        numPRBs = len(self.prbSet)
+        npRE = 12 * len(self.symSet)
+        if self.dmrs is not None:
+            dmrsSyms = self.dmrs.sym_set(self.mappingType, self.symSet, self.carrier.cpType)
+            npRE -= len(dmrsSyms) * (12 - len(self.dmrs.unused_res(self.portSet)))
+        if npRE <= xOverhead:
+            raise ValueError(f"xOverhead must be less than {npRE}")
+        npRE -= xOverhead
+        numREs = min(156, npRE) * numPRBs
+        cwLayers = ([self.numLayers] if self.numCW == 1
+                    else [self.numLayers // 2, self.numLayers - self.numLayers // 2])
+        out = []
+        for c in range(self.numCW):
+            nInfo = scaleFactor * numREs * codeRates[c] * self.modems[c].qm * cwLayers[c]
+            if nInfo <= 3824:
+                n = max(3, int(np.log2(nInfo)) - 6)
+                npInfo = max(24, (1 << n) * (int(nInfo) >> n))
+                out.append(int(_TBS_TABLE[_TBS_TABLE >= npInfo][0]))
+            else:
+                n = int(np.log2(nInfo - 24)) - 5
+                npInfo = max(3840, (1 << n) * np.round((nInfo - 24) / (1 << n)))
+                if codeRates[c] <= 0.25:
+                    c8 = 8 * np.ceil((npInfo + 24) / 3816)
+                elif npInfo > 8424:
+                    c8 = 8 * np.ceil((npInfo + 24) / 8424)
+                else:
+                    c8 = 8
+                out.append(int(c8 * np.ceil((npInfo + 24) / c8)) - 24)
+        return out
+
+    # ------------------------------------------------------------- precoder
+    def getPrecodingMatrix(self, channelMatrix: np.ndarray) -> np.ndarray:
+        """Time/freq-averaged SVD precoder (reference pdsch.py:1080-1165).
+
+        channelMatrix: (L, K, Nr, Nt). Returns (Nt, Nl) wideband, or
+        (K, Nt, Nl) per-subcarrier when prgSize is 2/4 (PRG precoding
+        expanded, ready for ``grid.precode``).
+        """
+        channelMatrix = np.asarray(channelMatrix)
+        K = channelMatrix.shape[1]
+        nt = channelMatrix.shape[3]
+
+        def group_precoder(reIdx):
+            h = channelMatrix[:, reIdx].mean(axis=(0, 1))
+            _, _, vH = np.linalg.svd(h)
+            return np.conj(vH).T[:, : self.numLayers] / np.sqrt(self.numLayers)
+
+        if self.prgSize == 0:
+            reIdx = np.asarray([rb * 12 + r for rb in self.prbSet for r in range(12)])
+            return group_precoder(reIdx)
+        fK = np.zeros((K, nt, self.numLayers), np.complex128)
+        groups: dict[int, list[int]] = {}
+        for prb in self.prbSet:
+            groups.setdefault((int(prb) + self.carrier.startRb) // self.prgSize, []).append(int(prb))
+        for _, rbs in sorted(groups.items()):
+            reIdx = np.asarray([rb * 12 + r for rb in rbs for r in range(12)])
+            fK[reIdx] = group_precoder(reIdx)
+        return fK
+
+
+class PdschSlotPlan:
+    """Static per-slot PDSCH plan: pilot grid + flat index tables + sequences."""
+
+    def __init__(self, cfg: PdschConfig, slotNo: int):
+        self.cfg = cfg
+        self.slotNo = slotNo
+        car = cfg.carrier
+        P, L, K = cfg.numLayers, car.symbolsPerSlot, car.numSubcarriers
+        self.shape = (P, L, K)
+        hg = HostGrid(P, L, K)
+        slotMap = cfg.slot_map(slotNo)
+
+        # 1) reserved RB sets -> RESERVED
+        for rset in cfg.reservedRbSets:
+            for l in rset.reserved_symbols(slotNo):
+                for rb in rset.rbs:
+                    hg.set(slice(None), l, slice(rb * 12, rb * 12 + 12), 0, "RESERVED")
+        # 2) reserved RE map -> RESERVED (port x symbol x re, with broadcast rules)
+        rmap = cfg.reservedReMap
+        if rmap:
+            for p in range(P):
+                pm = rmap[0] if len(rmap) == 1 else rmap[p]
+                if not pm:
+                    continue
+                for l in range(L):
+                    res = pm[0] if len(pm) == 1 else pm[l]
+                    for k in res:
+                        hg.set(p, l, k, 0, "RESERVED")
+        # 3) DMRS pilots + NO_DATA
+        if cfg.dmrs is not None:
+            vals, noData = cfg.dmrs.pilot_values(
+                car, slotNo, cfg.portSet, cfg.mappingType, cfg.symSet, slotMap)
+            for p, l, ks, vs in vals:
+                for k, v in zip(ks, vs):
+                    if hg.re_type_at(p, l, k) == "RESERVED":
+                        continue
+                    hg.set(p, l, int(k), v, "DMRS")
+            for p, l, k in noData:
+                if hg.re_type_at(p, l, k) == "UNASSIGNED":
+                    hg.set(p, l, k, 0, "NO_DATA")
+
+        # 4) PDSCH data REs, in the reference allocation order (pdsch.py:839-852)
+        skip = {RET[n] for n in ("DMRS", "CSIRS_ZP", "CSIRS_NZP", "RESERVED",
+                                 "PTRS", "NO_DATA")}
+        idx = []
+        for p in range(P):
+            for sym in cfg.symSet:
+                for prb in slotMap[sym]:
+                    for r in range(12):
+                        k = prb * 12 + r
+                        t = hg.reTypeIds[p, sym, k]
+                        if t in skip:
+                            continue
+                        hg.reTypeIds[p, sym, k] = RET["PDSCH"]
+                        idx.append((p, int(sym), k))
+        di = np.asarray(idx, np.int32).T if idx else np.zeros((3, 0), np.int32)
+        self.dataIndices = (di[0], di[1], di[2])
+        self.reTypeIds = hg.reTypeIds
+        self.pilotGrid = hg.grid.astype(np.complex64)       # DMRS values, 0 elsewhere
+
+        # 5) layer mapping -> per-codeword flat gather/scatter indices
+        flat = (di[0] * L + di[1]) * K + di[2]
+        numAll = flat.shape[0]
+        layerStarts = np.append([0], np.where(np.diff(di[0]) == 1)[0] + 1)
+        cw1Layers = cfg.numLayers if cfg.numCW == 1 else cfg.numLayers // 2
+        if cfg.numCW == 1:
+            reCounts = [numAll]
+        else:
+            reCounts = [int(layerStarts[cw1Layers])]
+            reCounts.append(numAll - reCounts[0])
+        self.numREsPerCW = reCounts
+        self.bitSizes = [reCounts[i] * cfg.modems[i].qm for i in range(cfg.numCW)]
+        self.flatIdxPerCW = []
+        for cw in range(cfg.numCW):
+            starts = (layerStarts[:cw1Layers] if cw == 0 else layerStarts[cw1Layers:])
+            nl = len(starts)
+            n = (reCounts[cw] + nl - 1) // nl
+            order = (starts[None, :] + np.arange(n)[:, None]).reshape(-1)[: reCounts[cw]]
+            self.flatIdxPerCW.append(flat[order].astype(np.int32))
+
+        # 6) scrambling sequences (constant per config)
+        self.scrambleSeq = []
+        for q in range(cfg.numCW):
+            cInit = cfg.rnti * (1 << 15) + q * (1 << 14) + cfg.nID
+            self.scrambleSeq.append(gold_sequence(cInit, self.bitSizes[q]).astype(np.int8))
+
+    # --------------------------------------------------------------- device
+    def populate(self, bits, baseGrid=None) -> jnp.ndarray:
+        """bits: array (..., G0) for 1 CW, or list/tuple of arrays per CW.
+        Returns grid (..., P, L, K) complex64 with pilots + modulated data."""
+        cfg = self.cfg
+        if not isinstance(bits, (list, tuple)):
+            bits = [bits]
+        if len(bits) != cfg.numCW:
+            raise ValueError(f"Expected {cfg.numCW} codeword bit arrays, got {len(bits)}")
+        P, L, K = self.shape
+        lead = bits[0].shape[:-1]
+        if baseGrid is None:
+            g = jnp.broadcast_to(jnp.asarray(self.pilotGrid), lead + (P, L, K))
+        else:
+            g = baseGrid
+        gf = g.reshape(lead + (P * L * K,))
+        for cw in range(cfg.numCW):
+            seq = jnp.asarray(self.scrambleSeq[cw].astype(bits[cw].dtype))
+            scrambled = jnp.bitwise_xor(bits[cw], seq)
+            syms = cfg.modems[cw].modulate(scrambled)
+            gf = gf.at[..., jnp.asarray(self.flatIdxPerCW[cw])].set(syms)
+        return gf.reshape(lead + (P, L, K))
+
+    def extract_llrs(self, eqGrid: jnp.ndarray, llrScales: jnp.ndarray | None = None,
+                     noiseVar=1.0, useMax: bool = True):
+        """eqGrid (..., P, L, K) -> list of per-CW LLR arrays (..., G_cw)."""
+        cfg = self.cfg
+        P, L, K = self.shape
+        gf = eqGrid.reshape(eqGrid.shape[:-3] + (P * L * K,))
+        if llrScales is not None:
+            sf = llrScales.reshape(llrScales.shape[:-3] + (P * L * K,))
+        out = []
+        for cw in range(cfg.numCW):
+            fi = jnp.asarray(self.flatIdxPerCW[cw])
+            syms = gf[..., fi]
+            llrs = cfg.modems[cw].llrs_from_symbols(syms, noiseVar, useMax)
+            sgn = jnp.asarray(1.0 - 2.0 * self.scrambleSeq[cw].astype(np.float32))
+            llrs = llrs * sgn
+            if llrScales is not None:
+                scales = jnp.repeat(sf[..., fi], cfg.modems[cw].qm, axis=-1)
+                llrs = llrs * scales
+            out.append(llrs)
+        return out
+
+    def hard_bits(self, eqGrid, llrScales=None, noiseVar=1.0, useMax=True):
+        return [(l < 0).astype(jnp.int8)
+                for l in self.extract_llrs(eqGrid, llrScales, noiseVar, useMax)]

@@ -1,0 +1,2 @@
+from .link import PdschLinkSim
+from .sweep import run_bler_sweep, make_trial_keys

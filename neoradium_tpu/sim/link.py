@@ -1,0 +1,151 @@
+"""End-to-end PDSCH link-level simulation — the framework's flagship pipeline.
+
+One jitted, vmap-able function runs a full slot:
+
+  payload bits -> TB CRC -> LDPC encode -> rate match -> scramble -> QAM ->
+  layer map -> grid (+DMRS) -> [precode] -> OFDM modulate -> channel/AWGN ->
+  OFDM demodulate -> [equalize] -> LLRs -> descramble -> rate recover ->
+  LDPC decode -> CRC -> BER/BLER counters
+
+Monte-Carlo design: the function is pure in (key, snrDb); trials are vmapped
+and sharded over a device mesh (see sim/sweep.py). SNR enters as a traced
+scalar so one compilation serves the whole sweep.
+
+Mirrors the reference's canonical pipeline (SURVEY.md §3.1,
+Playground/PDSCH/PDSCH-endToEnd.ipynb) with the MATLAB-convention SNR scaling
+(noiseVar = 1/(Nr*nFFT*snr) in time domain, 1/(Nr*snr) in freq domain —
+reference waveform.py:289, grid.py:1184).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..carrier import CarrierConfig
+from ..coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
+from ..ofdm import OfdmContext
+from ..phy.pdsch import PdschConfig
+from ..random import PRNG
+from ..grid import apply_channel_freq
+from ..rx.equalize import mmse_equalize
+
+
+class PdschLinkSim:
+    """A configured PDSCH end-to-end link, ready to run Monte-Carlo slots.
+
+    Args:
+      carrier: CarrierConfig.
+      pdschKw: kwargs for PdschConfig (numLayers, modulation, ...).
+      dmrsKw: kwargs for DmrsConfig via setDMRS.
+      codeRate: LDPC target code rate (TBS derived via TS 38.214 §5.1.3.2).
+      slotNo: slot number (fixes DMRS sequences and reserved patterns).
+      domain: 'time' (OFDM mod/demod + waveform AWGN) or 'freq' (grid AWGN).
+      numRx: number of receive antennas (freq-domain channel path). If None,
+        equals numLayers and the channel is identity (pure AWGN loopback,
+        perfect chEst).
+      decoderIter: LDPC decoder iterations.
+    """
+
+    def __init__(self, carrier: CarrierConfig, pdschKw: dict | None = None,
+                 dmrsKw: dict | None = None, codeRate: float = 490 / 1024,
+                 slotNo: int = 0, domain: str = "time", numRx: int | None = None,
+                 decoderIter: int = 5, windowing: bool = False, seed: int = 0):
+        if domain not in ("time", "freq"):
+            raise ValueError("domain must be 'time' or 'freq'")
+        self.carrier = carrier
+        self.domain = domain
+        self.decoderIter = decoderIter
+        self.windowing = windowing
+        self.pdsch = PdschConfig(carrier, **(pdschKw or {}))
+        self.pdsch.setDMRS(**(dmrsKw or {}))
+        self.plan = self.pdsch.plan(slotNo)
+        self.slotNo = slotNo
+        self.numRx = numRx if numRx is not None else self.pdsch.numLayers
+        self.codeRate = codeRate
+
+        self.tbs = self.pdsch.getTxBlockSize(codeRate)
+        self.ldpc = []
+        for q in range(self.pdsch.numCW):
+            cfg = LdpcConfig(self.tbs[q], baseGraphNo=1,
+                             modulation=self.pdsch.modems[q].modulation,
+                             txLayers=(self.pdsch.numLayers if self.pdsch.numCW == 1
+                                       else [self.pdsch.numLayers // 2,
+                                             self.pdsch.numLayers - self.pdsch.numLayers // 2][q]),
+                             targetRate=codeRate, g=self.plan.bitSizes[q])
+            self.ldpc.append((LdpcEncoder(cfg), LdpcDecoder(cfg)))
+        self.ofdm = OfdmContext(carrier, carrier.slotNoInSubFrame(slotNo))
+        self.rng = PRNG(seed)
+
+    # ----------------------------------------------------------------- slot
+    def run_slot(self, key: jax.Array, snrDb: jnp.ndarray,
+                 channel: jnp.ndarray | None = None):
+        """Run one full TX->RX slot. Returns a dict of scalar metrics.
+
+        Args:
+          key: jax PRNG key for this trial (payload bits + noise).
+          snrDb: traced scalar SNR in dB (MATLAB convention, see module doc).
+          channel: optional frequency-domain channel (L, K, Nr, Nt); when
+            given, the grid passes through it and an MMSE equalizer with
+            perfect CSI runs at the receiver.
+        """
+        plan, pdsch = self.plan, self.pdsch
+        numCW = pdsch.numCW
+        kBits, kNoise = jax.random.split(key)
+        snr = 10.0 ** (snrDb / 10.0)
+
+        # TX
+        payloads, rmBits = [], []
+        for q in range(numCW):
+            kq = jax.random.fold_in(kBits, q)
+            payload = jax.random.bernoulli(kq, 0.5, (self.tbs[q],)).astype(jnp.int8)
+            payloads.append(payload)
+            rmBits.append(self.ldpc[q][0].encode_tb(payload))
+        grid = plan.populate(rmBits if numCW > 1 else rmBits[0])   # (Nl, L, K)
+
+        if channel is not None:
+            rxGrid0 = apply_channel_freq(grid, channel)            # (Nr, L, K)
+        else:
+            rxGrid0 = grid
+        nr = rxGrid0.shape[-3]
+
+        # channel + AWGN
+        if self.domain == "time":
+            wf = self.ofdm.modulate(rxGrid0, windowing=self.windowing)
+            sigma = jnp.sqrt(1.0 / (snr * nr * self.carrier.nFFT))
+            noisy = wf + PRNG.awgn_from_key(kNoise, wf.shape, 1.0) * sigma.astype(jnp.float32)
+            rxGrid = self.ofdm.demodulate(noisy)
+            noiseVar = sigma ** 2 * self.carrier.nFFT
+        else:
+            sigma = jnp.sqrt(1.0 / (snr * nr))
+            rxGrid = rxGrid0 + PRNG.awgn_from_key(
+                kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
+            noiseVar = sigma ** 2
+
+        # RX
+        if channel is not None:
+            eqGrid, llrScales = mmse_equalize(rxGrid, channel, noiseVar)
+        else:
+            eqGrid, llrScales = rxGrid, None
+
+        llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
+        bitErr = jnp.zeros((), jnp.int32)
+        blkErr = jnp.zeros((), jnp.int32)
+        totalBits, totalBlocks = 0, 0
+        for q in range(numCW):
+            decoded, ok, _ = self.ldpc[q][1].decode_tb(llrs[q], numIter=self.decoderIter)
+            bitErr = bitErr + jnp.sum(decoded != payloads[q], dtype=jnp.int32)
+            blkErr = blkErr + (~ok).astype(jnp.int32)
+            totalBits += self.tbs[q]
+            totalBlocks += 1
+        return dict(bitErrors=bitErr, blockErrors=blkErr,
+                    bits=jnp.int32(totalBits), blocks=jnp.int32(totalBlocks))
+
+    # ------------------------------------------------------------ jit entry
+    def make_trial_fn(self, channel: jnp.ndarray | None = None):
+        """(key, snrDb) -> metrics; vmap/jit/shard at will."""
+        def fn(key, snrDb):
+            return self.run_slot(key, snrDb, channel)
+        return fn

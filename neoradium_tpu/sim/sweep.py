@@ -1,0 +1,71 @@
+"""Monte-Carlo BER/BLER sweeps sharded over a device mesh.
+
+TPU design (SURVEY.md §2 parallelism inventory): the reference's triple loop
+(est-method x SNR x slots, SURVEY.md §3.2) becomes a data-parallel surface:
+trials are vmapped and sharded across a 1-D or 2-D ``jax.sharding.Mesh``
+(axes: 'snr' x 'trial'); error counters reduce with an all-reduce that XLA
+derives from the sharded->replicated output sharding (rides ICI within a
+slice). One compilation serves every SNR point (SNR is a traced argument).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_trial_keys(seed: int, numTrials: int) -> jax.Array:
+    return jax.random.split(jax.random.PRNGKey(seed), numTrials)
+
+
+def make_point_fn(trial_fn):
+    """Build jitted fn: (keys (N,2), snrDb scalar) -> summed metric dict."""
+    def point(keys, snrDb):
+        metrics = jax.vmap(lambda k: trial_fn(k, snrDb))(keys)
+        # int32 sums: per-point counts stay far below 2^31 (split very large
+        # trial counts across multiple calls; the host loop accumulates ints).
+        return {k: jnp.sum(v, dtype=jnp.int32) for k, v in metrics.items()}
+    return jax.jit(point)
+
+
+def run_bler_point(trial_fn, snrDb: float, numTrials: int, seed: int = 123,
+                   mesh: Mesh | None = None, point_fn=None):
+    """Run ``numTrials`` independent slots at one SNR; returns summed counters.
+
+    With a mesh, trial keys are sharded over the 'trial' axis; XLA inserts the
+    psum for the replicated sums.
+    """
+    if point_fn is None:
+        point_fn = make_point_fn(trial_fn)
+    keys = make_trial_keys(seed, numTrials)
+    if mesh is not None:
+        keys = jax.device_put(keys, NamedSharding(mesh, P("trial")))
+    out = point_fn(keys, jnp.float32(snrDb))
+    return {k: int(v) for k, v in out.items()}
+
+
+def run_bler_sweep(trial_fn, snrDbs, numTrials: int, seed: int = 123,
+                   mesh: Mesh | None = None):
+    """Sweep SNR points (host loop, like the reference's SnrScheduler usage);
+    one compile is reused for all points. Returns dict of metric curves."""
+    point_fn = make_point_fn(trial_fn)
+    results = {}
+    for snr in snrDbs:
+        r = run_bler_point(trial_fn, snr, numTrials, seed, mesh, point_fn)
+        for k, v in r.items():
+            results.setdefault(k, []).append(v)
+    results["snrDbs"] = list(snrDbs)
+    results["ber"] = [be / max(b, 1) for be, b in zip(results["bitErrors"], results["bits"])]
+    results["bler"] = [be / max(b, 1) for be, b in zip(results["blockErrors"], results["blocks"])]
+    return results
+
+
+def default_mesh(shape: tuple[int, ...] = None, axes: tuple[str, ...] = ("trial",)):
+    """Create a mesh over all available devices (1-D 'trial' by default)."""
+    devs = np.array(jax.devices())
+    if shape is None:
+        shape = (len(devs),)
+    return Mesh(devs.reshape(shape), axes)

@@ -1,0 +1,71 @@
+"""End-to-end PDSCH link tests: BLER waterfall over AWGN (validated against a
+reference run at identical config: both cross between +1 and +2 dB), MIMO
+MMSE path, multi-chip sharded Monte-Carlo on the virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.sim.link import PdschLinkSim
+from neoradium_tpu.sim.sweep import run_bler_sweep, default_mesh
+
+
+@pytest.fixture(scope="module")
+def awgn_sim():
+    return PdschLinkSim(CarrierConfig(numRbs=25, spacing=30),
+                        pdschKw=dict(numLayers=1, modulation="QPSK"),
+                        dmrsKw=dict(), codeRate=449 / 1024, domain="time")
+
+
+def test_awgn_bler_waterfall(awgn_sim):
+    """Reference (same config, 10 trials/pt): BLER=1.0 at +1 dB, 0.0 at +2 dB."""
+    res = run_bler_sweep(awgn_sim.make_trial_fn(), [1.0, 3.0], numTrials=8)
+    assert res["bler"][0] == 1.0          # below waterfall
+    assert res["bler"][1] == 0.0          # above waterfall
+    assert res["ber"][1] == 0.0
+
+
+def test_awgn_freq_domain_shortcut(awgn_sim):
+    sim = PdschLinkSim(CarrierConfig(numRbs=25, spacing=30),
+                       pdschKw=dict(numLayers=1, modulation="QPSK"),
+                       dmrsKw=dict(), codeRate=449 / 1024, domain="freq")
+    res = run_bler_sweep(sim.make_trial_fn(), [3.0], numTrials=8)
+    assert res["bler"][0] == 0.0
+
+
+def test_mimo_mmse_path():
+    car = CarrierConfig(numRbs=25, spacing=30)
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
+                       dmrsKw=dict(configType=2), codeRate=490 / 1024,
+                       domain="freq", numRx=4)
+    rng = np.random.default_rng(5)
+    L, K = car.symbolsPerSlot, car.numSubcarriers
+    h = (rng.normal(size=(1, 1, 4, 2)) + 1j * rng.normal(size=(1, 1, 4, 2))) / np.sqrt(2)
+    h = np.broadcast_to(h, (L, K, 4, 2)).astype(np.complex64)
+    fn = sim.make_trial_fn(channel=jnp.asarray(h))
+    res = run_bler_sweep(fn, [-20.0, 10.0], numTrials=4)
+    assert res["bler"][0] == 1.0          # deep noise: all blocks fail
+    assert res["bler"][1] == 0.0          # high SNR: MMSE recovers both layers
+
+
+def test_sharded_sweep_matches_single_device(awgn_sim):
+    """Same keys, same results whether sharded over the 8-dev mesh or not."""
+    fn = awgn_sim.make_trial_fn()
+    a = run_bler_sweep(fn, [1.0], numTrials=16)
+    b = run_bler_sweep(fn, [1.0], numTrials=16, mesh=default_mesh())
+    assert a["bitErrors"] == b["bitErrors"]
+    assert a["blockErrors"] == b["blockErrors"]
+
+
+def test_graft_entry_compiles():
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert len(out) == 2
+    mod.dryrun_multichip(8)

@@ -1,0 +1,89 @@
+"""PDSCH/DMRS tests against reference golden tensors: RE-type maps, DMRS pilot
+values, grid population order, LLR extraction, TBS."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.phy.pdsch import PdschConfig, ReservedRbSet
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+CASES = {
+    "p1": (dict(numRbs=51, spacing=30), dict(numLayers=2, modulation="16QAM"),
+           dict(configType=2, additionalPos=2), 0),
+    "p2": (dict(numRbs=25, spacing=15), dict(numLayers=1, modulation="QPSK"),
+           dict(), 0),
+    "p3": (dict(numRbs=24, spacing=30), dict(numLayers=6, modulation="256QAM"),
+           dict(configType=2, symbols=2), 1),
+}
+
+
+def _build(tag):
+    carkw, pkw, dkw, slotNo = CASES[tag]
+    cfg = PdschConfig(CarrierConfig(**carkw), **pkw)
+    cfg.setDMRS(**dkw)
+    return cfg, cfg.plan(slotNo)
+
+
+@pytest.mark.parametrize("tag", list(CASES))
+def test_pdsch_golden(tag):
+    d = np.load(os.path.join(GOLDEN, "pdsch.npz"))
+    cfg, plan = _build(tag)
+    assert np.array_equal(plan.reTypeIds, d[f"{tag}_reTypeIds"])
+    assert np.array_equal(np.array(cfg.getTxBlockSize(490 / 1024)), d[f"{tag}_tbs"])
+
+    bits = [jnp.asarray(d[f"{tag}_bits{q}"]) for q in range(cfg.numCW)]
+    grid = np.asarray(plan.populate(bits if cfg.numCW > 1 else bits[0]))
+    assert np.abs(grid - d[f"{tag}_grid"]).max() < 1e-6
+
+    llrs = plan.extract_llrs(jnp.asarray(d[f"{tag}_noisy"].astype(np.complex64)),
+                             jnp.asarray(d[f"{tag}_scales"].astype(np.float32)), 0.005)
+    for q in range(cfg.numCW):
+        ref = d[f"{tag}_llrs{q}"]
+        rel = np.abs(ref - np.asarray(llrs[q])).max() / np.abs(ref).max()
+        assert rel < 1e-3
+
+
+def test_pdsch_populate_extract_roundtrip():
+    cfg, plan = _build("p1")
+    rng = np.random.default_rng(3)
+    bits = jnp.asarray(rng.integers(0, 2, (2, plan.bitSizes[0])).astype(np.int8))
+    grid = plan.populate(bits)
+    assert grid.shape == (2,) + plan.shape
+    out = plan.hard_bits(grid, noiseVar=0.01)[0]
+    assert np.array_equal(np.asarray(out), np.asarray(bits))
+
+
+def test_reserved_rb_sets():
+    cfg = PdschConfig(CarrierConfig(numRbs=25, spacing=30), numLayers=1,
+                      modulation="QPSK",
+                      reservedRbSets=[ReservedRbSet(14, rbs=[0, 1], symbols=[5, 6],
+                                                    pattern=[0])])
+    cfg.setDMRS()
+    plan = cfg.plan(0)
+    from neoradium_tpu.grid import RET
+    # RBs 0-1 at symbols 5,6 reserved on all ports
+    assert np.all(plan.reTypeIds[:, 5, :24] == RET["RESERVED"])
+    assert np.all(plan.reTypeIds[:, 6, :24] == RET["RESERVED"])
+    assert not np.any(plan.reTypeIds[:, 4, :24] == RET["RESERVED"])
+    # bit budget reduced vs un-reserved config
+    cfg2 = PdschConfig(CarrierConfig(numRbs=25, spacing=30), numLayers=1, modulation="QPSK")
+    cfg2.setDMRS()
+    assert plan.bitSizes[0] < cfg2.plan(0).bitSizes[0]
+
+
+def test_pdsch_validation_errors():
+    car = CarrierConfig(numRbs=25, spacing=30)
+    with pytest.raises(ValueError):
+        PdschConfig(car, numLayers=9)
+    with pytest.raises(ValueError):
+        PdschConfig(car, mappingType="C")
+    with pytest.raises(ValueError):
+        PdschConfig(car, symStart=13, symLen=4)  # type A: s+l > 14
+    with pytest.raises(ValueError):
+        PdschConfig(car, prgSize=3)
+    with pytest.raises(ValueError):
+        PdschConfig(car, interleavingBundleSize=5)

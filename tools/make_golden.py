@@ -121,6 +121,50 @@ def ldpc():
     np.savez_compressed(f"{OUT}/ldpc.npz", **out)
 
 
+
+
+def pdsch():
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from neoradium import Carrier, PDSCH
+
+    rng = np.random.default_rng(21)
+    out = {}
+    cases = {
+        "p1": (dict(numRbs=51, spacing=30), dict(numLayers=2, modulation="16QAM"),
+               dict(configType=2, additionalPos=2), 0),
+        "p2": (dict(numRbs=25, spacing=15), dict(numLayers=1, modulation="QPSK"),
+               dict(), 0),
+        "p3": (dict(numRbs=24, spacing=30), dict(numLayers=6, modulation="256QAM"),
+               dict(configType=2, symbols=2), 1),
+    }
+    for tag, (carkw, pkw, dkw, slotNo) in cases.items():
+        c = Carrier(**carkw)
+        for _ in range(slotNo):
+            c.goNext()
+        p = PDSCH(c.curBwp, **pkw)
+        p.setDMRS(**dkw)
+        g = p.getGrid()
+        bitSizes = p.getBitSizes(g)
+        bits = [rng.integers(0, 2, n).astype(np.int8) for n in bitSizes]
+        p.populateGrid(g, [b.copy() for b in bits])
+        noisy = g.grid + 0.05 * (rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape))
+        ng = g.clone()
+        ng.grid = noisy
+        idx = p.getReIndexes(g, "PDSCH")
+        scales = np.abs(rng.normal(size=g.shape)) + 0.5
+        llrs = p.getLLRsFromGrid(ng, idx, llrScales=scales, noiseVar=0.005)
+        out[f"{tag}_reTypeIds"] = g.reTypeIds
+        out[f"{tag}_grid"] = g.grid
+        out[f"{tag}_noisy"] = noisy
+        out[f"{tag}_scales"] = scales
+        out[f"{tag}_tbs"] = np.array(p.getTxBlockSize(490 / 1024))
+        for q, b in enumerate(bits):
+            out[f"{tag}_bits{q}"] = b
+            out[f"{tag}_llrs{q}"] = llrs[q]
+    np.savez_compressed(f"{OUT}/pdsch.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -128,4 +172,5 @@ if __name__ == "__main__":
     modulation()
     ofdm()
     ldpc()
+    pdsch()
     print("golden fixtures written to", OUT)
