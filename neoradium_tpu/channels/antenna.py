@@ -1,0 +1,332 @@
+"""3GPP antenna model — TR 38.901 §7.1 (coordinates), §7.3 (element pattern).
+
+TPU design: antenna geometry (element positions, polarization slants, pattern
+parameters) is a static host-side description; the *field evaluation*
+(`elements_fields`) is pure ``jax.numpy`` — elementwise trig + tiny matmuls —
+so channel models can evaluate it per-trial under jit/vmap with per-trial
+random ray angles. The same function runs in float64 on CPU for conformance
+tests against the reference.
+
+Behavioral parity: reference ``neoradium/antenna.py`` — parabolic element
+pattern Table 7.3-1 (antenna.py:1014-1094), polarization models 1/2
+(antenna.py:1229-1248), rotation matrix Eq. 7.1-4 (antenna.py:737-762),
+global<->local angle transform Eqs. 7.1-7/7.1-8 and polarization rotation psi
+Eq. 7.1-12 (antenna.py:765-859), panel geometry and polarization-major
+element order (antenna.py:1360-1724).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import toLinear
+
+
+# ===================================================================== element
+@dataclass(frozen=True)
+class AntennaElement:
+    """One antenna element per TR 38.901 Table 7.3-1."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    polAngle: float = 0.0               # degrees; 0 = vertical
+    polModel: int = 2
+    beamWidth: tuple = (65.0, 65.0)     # (theta3dB, phi3dB) degrees
+    verticalSidelobeAttenuation: float = 30.0
+    maxAttenuation: float = 30.0
+    mainMaxGain: float = 8.0
+    freqRange: tuple = (0.0, 100e9)
+
+    # ------------------------------------------------------------- patterns
+    def power_pattern_db(self, theta_deg, phi_deg):
+        """A(theta'', phi'') + Gmax in dB; inputs in degrees, same shape."""
+        xp = jnp if isinstance(theta_deg, jnp.ndarray) else np
+        av = -xp.minimum(12 * ((theta_deg - 90.0) / self.beamWidth[0]) ** 2,
+                         self.verticalSidelobeAttenuation)
+        if self.beamWidth[1] == 360:
+            ah = xp.zeros_like(np.asarray(phi_deg) * 0 + av)
+        else:
+            ah = -xp.minimum(12 * (phi_deg / self.beamWidth[1]) ** 2,
+                             self.maxAttenuation)
+        return -xp.minimum(-(av + ah), self.maxAttenuation) + self.mainMaxGain
+
+    def polarized_fields(self, theta_deg, phi_deg):
+        """(fTheta, fPhi) for same-shaped angle arrays (degrees)."""
+        xp = jnp if isinstance(theta_deg, jnp.ndarray) else np
+        f = 10.0 ** (self.power_pattern_db(theta_deg, phi_deg) / 20.0)
+        zeta = self.polAngle * np.pi / 180.0
+        if self.polModel == 1:
+            if self.polAngle == 0:
+                cpsi, spsi = 1.0, 0.0
+            elif self.polAngle in (180, -180):
+                cpsi, spsi = -1.0, 0.0
+            else:
+                th = theta_deg * np.pi / 180.0
+                ph = phi_deg * np.pi / 180.0
+                denom = xp.sqrt(1 - (np.cos(zeta) * xp.cos(th)
+                                     - np.sin(zeta) * xp.sin(ph) * xp.sin(th)) ** 2)
+                cpsi = (np.cos(zeta) * xp.sin(th)
+                        + np.sin(zeta) * xp.sin(ph) * xp.cos(th)) / denom
+                spsi = np.sin(zeta) * xp.cos(ph) / denom
+            return f * cpsi, f * spsi
+        return f * np.cos(zeta), f * np.sin(zeta)
+
+    # ----------------------------------------------------------- container API
+    def elements(self):
+        return [self]
+
+    def getNumElements(self) -> int:
+        return 1
+
+    def positions(self) -> np.ndarray:
+        return np.asarray([self.position], np.float64)
+
+
+# ===================================================================== panel
+class AntennaPanel:
+    """M x N rectangular panel; dual-polarized panels list one polarization
+    block after the other (polarization-major order, TR 38.901 §7.3)."""
+
+    def __init__(self, shape=(2, 2), **kwargs):
+        self.shape = tuple(int(x) for x in shape)
+        self.spacing = tuple(np.float64(kwargs.get("spacing", (0.5, 0.5))))
+        self.polarization = kwargs.get("polarization", "|")
+        if self.polarization not in ("|", "-", "+", "x"):
+            raise ValueError("polarization must be one of '|', '-', '+', 'x'")
+        self.position = np.asarray(kwargs.get("position", [0, 0, 0]), np.float64)
+        self.matlabOrder = kwargs.get("matlabOrder", False)
+        template = kwargs.get("element", AntennaElement(
+            **{k: v for k, v in kwargs.items()
+               if k in ("polModel", "beamWidth", "verticalSidelobeAttenuation",
+                        "maxAttenuation", "mainMaxGain", "freqRange")}))
+
+        rows, cols = self.shape
+        dz, dy = self.spacing
+        offZ, offY = (np.asarray(self.shape) - 1) * np.asarray(self.spacing) / 2
+        polAngles = {"|": (0,), "-": (90,), "+": (0, 90), "x": (45, -45)}[self.polarization]
+        self._grid = [[tuple(replace(template,
+                                     position=(0.0, c * dy - offY, r * dz - offZ),
+                                     polAngle=pa) for pa in polAngles)
+                       for c in range(cols)] for r in range(rows)]
+
+    @property
+    def numPol(self) -> int:
+        return 2 if self.polarization in "+x" else 1
+
+    def elements(self, polarization=True):
+        rows, cols = self.shape
+        out = []
+        if self.matlabOrder:
+            for p in range(self.numPol if polarization else 1):
+                for c in range(cols):
+                    for r in range(rows - 1, -1, -1):
+                        out.append(self._grid[r][c][p])
+        else:
+            for p in range(self.numPol if polarization else 1):
+                for r in range(rows):
+                    for c in range(cols):
+                        out.append(self._grid[r][c][p])
+        return out
+
+    def getNumElements(self) -> int:
+        return self.shape[0] * self.shape[1] * self.numPol
+
+    def positions(self) -> np.ndarray:
+        """Standalone panel positions (no panel offset, reference
+        antenna.py:1601-1618)."""
+        return np.asarray([e.position for e in self.elements()], np.float64)
+
+    def _elements_one_pol(self, p: int):
+        rows, cols = self.shape
+        if self.matlabOrder:
+            return [self._grid[r][c][p] for c in range(cols)
+                    for r in range(rows - 1, -1, -1)]
+        return [self._grid[r][c][p] for r in range(rows) for c in range(cols)]
+
+
+# ===================================================================== array
+class AntennaArray:
+    """Mg x Ng grid of identical panels (TR 38.901 §7.3).
+
+    Dual-polarized arrays order elements polarization-major ACROSS panels
+    (all first-polarization elements of every panel, then all second) —
+    reference antenna.py:1944-1953.
+    """
+
+    def __init__(self, shape=(1, 1), panel: AntennaPanel | None = None, **kwargs):
+        self.shape = tuple(int(x) for x in shape)
+        template = panel if panel is not None else AntennaPanel()
+        spacing = kwargs.get("spacing")
+        if spacing is None:
+            spacing = np.asarray(template.shape) * np.asarray(template.spacing)
+        self.spacing = tuple(np.float64(spacing))
+        rows, cols = self.shape
+        dz, dy = self.spacing
+        offZ, offY = (np.asarray(self.shape) - 1) * np.asarray(self.spacing) / 2
+        self.panels = []
+        for r in range(rows):
+            rowPanels = []
+            for c in range(cols):
+                p = AntennaPanel(template.shape, spacing=template.spacing,
+                                 polarization=template.polarization,
+                                 matlabOrder=template.matlabOrder,
+                                 element=template._grid[0][0][0],
+                                 position=[0, c * dy - offY, r * dz - offZ])
+                rowPanels.append(p)
+            self.panels.append(rowPanels)
+
+    @property
+    def polarization(self):
+        return self.panels[0][0].polarization
+
+    def _all_panels(self):
+        return [p for row in self.panels for p in row]
+
+    def elements(self, polarization=True):
+        out = []
+        if polarization and self.polarization in "+x":
+            for p in (0, 1):
+                for panel in self._all_panels():
+                    rows, cols = panel.shape
+                    out.extend(panel._grid[r][c][p]
+                               for r in range(rows) for c in range(cols))
+        else:
+            for panel in self._all_panels():
+                out.extend(panel.elements(False))
+        return out
+
+    def getNumElements(self) -> int:
+        return sum(p.getNumElements() for p in self._all_panels())
+
+    def positions(self) -> np.ndarray:
+        """Element positions in array coordinates (element + panel offsets)."""
+        pos = []
+        if self.polarization in "+x":
+            for p in (0, 1):
+                for panel in self._all_panels():
+                    rows, cols = panel.shape
+                    pos.extend(np.asarray(panel._grid[r][c][p].position) + panel.position
+                               for r in range(rows) for c in range(cols))
+        else:
+            for panel in self._all_panels():
+                pos.extend(np.asarray(e.position) + panel.position
+                           for e in panel.elements(False))
+        return np.asarray(pos, np.float64)
+
+
+# ============================================================ field evaluation
+def rotation_matrix(orientation) -> np.ndarray:
+    """Forward composite rotation (TR 38.901 Eq. 7.1-4); host-side."""
+    if not np.any(orientation):
+        return np.eye(3)
+    sa, sb, sg = np.sin(orientation)
+    ca, cb, cg = np.cos(orientation)
+    return np.asarray([
+        [ca * cb, ca * sb * sg - sa * cg, ca * sb * cg + sa * sg],
+        [sa * cb, sa * sb * sg + ca * cg, sa * sb * cg - ca * sg],
+        [-sb, cb * sg, cb * cg]], np.float64)
+
+
+def antenna_spec(antenna) -> dict:
+    """Extract the static arrays a jitted field evaluation needs.
+
+    All elements must share the radiation pattern (they may differ in
+    position/polAngle — the panel/array construction guarantees this).
+    """
+    els = antenna.elements() if not isinstance(antenna, AntennaElement) else [antenna]
+    e0 = els[0]
+    pos = (antenna.positions() if not isinstance(antenna, AntennaElement)
+           else e0.positions())
+    return dict(
+        positions=pos,                                           # (nEl, 3)
+        polAngles=np.asarray([e.polAngle for e in els], np.float64),
+        polModel=e0.polModel,
+        beamWidth=np.asarray(e0.beamWidth, np.float64),
+        slaV=e0.verticalSidelobeAttenuation,
+        maxAtten=e0.maxAttenuation,
+        maxGain=e0.mainMaxGain,
+    )
+
+
+def elements_fields(spec: dict, theta, phi, orientation):
+    """Per-element polarized global fields + location phase factors.
+
+    Pure jnp (jit/vmap-safe). Args:
+      spec: from :func:`antenna_spec`.
+      theta, phi: (n, m) global zenith/azimuth angles (radians).
+      orientation: (alpha, beta, gamma) radians (static tuple/array).
+
+    Returns:
+      field: (nEl, 2, n, m) complex-free real fields (V/H polarization).
+      locFactor: (nEl, n, m) complex location phase exp(j*2pi*rHat.pos).
+    """
+    theta = jnp.asarray(theta)
+    phi = jnp.asarray(phi)
+    r = jnp.asarray(rotation_matrix(np.asarray(orientation, np.float64)),
+                    dtype=theta.dtype)
+
+    sinT, cosT = jnp.sin(theta), jnp.cos(theta)
+    sinP, cosP = jnp.sin(phi), jnp.cos(phi)
+    rHat = jnp.stack([sinT * cosP, sinT * sinP, cosT])           # (3, n, m)
+
+    # local angles (Eqs. 7.1-7 / 7.1-8 via inverse rotation: r is orthogonal)
+    proj = jnp.einsum("iv,i...->v...", r, rHat)
+    thetaLocal = jnp.arccos(jnp.clip(proj[2], -1.0, 1.0))
+    phiLocal = jnp.arctan2(proj[1], proj[0])
+    phiLocal = jnp.where((thetaLocal == 0) | (thetaLocal == jnp.pi), 0.0, phiLocal)
+
+    # psi: angular displacement between local/global polarization bases (7.1-12)
+    thetaHat = jnp.stack([cosT * cosP, cosT * sinP, -sinT])      # (3, n, m)
+    phiHat = jnp.stack([-sinP, cosP, jnp.zeros_like(cosP)])
+    cosTL = jnp.cos(thetaLocal)
+    thetaHatLocal = jnp.stack([cosTL * jnp.cos(phiLocal),
+                               cosTL * jnp.sin(phiLocal),
+                               -jnp.sin(thetaLocal)])            # (3, n, m)
+    rotTHL = jnp.einsum("ij,j...->i...", r, thetaHatLocal)
+    psi = jnp.arctan2(jnp.sum(phiHat * rotTHL, 0), jnp.sum(thetaHat * rotTHL, 0))
+
+    # element pattern at local angles (shared), per-element polarization slant
+    thetaLocDeg = thetaLocal * (180.0 / jnp.pi)
+    phiLocDeg = phiLocal * (180.0 / jnp.pi)
+    av = -jnp.minimum(12 * ((thetaLocDeg - 90.0) / spec["beamWidth"][0]) ** 2,
+                      spec["slaV"])
+    if spec["beamWidth"][1] == 360:
+        ah = jnp.zeros_like(phiLocDeg)
+    else:
+        ah = -jnp.minimum(12 * (phiLocDeg / spec["beamWidth"][1]) ** 2,
+                          spec["maxAtten"])
+    patternDb = -jnp.minimum(-(av + ah), spec["maxAtten"]) + spec["maxGain"]
+    f = 10.0 ** (patternDb / 20.0)                               # (n, m)
+
+    zeta = jnp.asarray(spec["polAngles"] * np.pi / 180.0, dtype=theta.dtype)
+    if spec["polModel"] == 1:
+        # Model-1 (TR 38.901 Eq. 7.3-3) evaluated elementwise at the LOCAL
+        # angles. polAngle 0 / +-180 shortcut matches antenna.py:1232-1233.
+        cz = jnp.cos(zeta)[:, None, None]
+        sz = jnp.sin(zeta)[:, None, None]
+        sinTL, cosTLoc = jnp.sin(thetaLocal), jnp.cos(thetaLocal)
+        sinPL, cosPL = jnp.sin(phiLocal), jnp.cos(phiLocal)
+        denom = jnp.sqrt(jnp.clip(1 - (cz * cosTLoc - sz * sinPL * sinTL) ** 2,
+                                  1e-12, None))
+        cpsiE = (cz * sinTL + sz * sinPL * cosTLoc) / denom
+        spsiE = sz * cosPL / denom
+        straight = jnp.abs(jnp.abs(zeta) % jnp.pi) < 1e-12       # 0 or +-180 deg
+        sign = jnp.where(jnp.abs(zeta[:, None, None]) > 1e-12, -1.0, 1.0)
+        cpsiE = jnp.where(straight[:, None, None], sign, cpsiE)
+        spsiE = jnp.where(straight[:, None, None], 0.0, spsiE)
+        fThetaLocal = f[None] * cpsiE
+        fPhiLocal = f[None] * spsiE
+    else:
+        fThetaLocal = f[None] * jnp.cos(zeta)[:, None, None]     # (nEl, n, m)
+        fPhiLocal = f[None] * jnp.sin(zeta)[:, None, None]
+
+    field = jnp.stack([fThetaLocal * jnp.cos(psi) - fPhiLocal * jnp.sin(psi),
+                       fThetaLocal * jnp.sin(psi) + fPhiLocal * jnp.cos(psi)],
+                      axis=1)                                    # (nEl, 2, n, m)
+
+    posG = jnp.einsum("ij,ej->ie", r, jnp.asarray(spec["positions"],
+                                                  dtype=theta.dtype))  # (3, nEl)
+    locAngle = 2 * jnp.pi * jnp.einsum("i...,ie->e...", rHat, posG)
+    locFactor = jnp.exp(1j * locAngle)                           # (nEl, n, m)
+    return field, locFactor

@@ -1,0 +1,214 @@
+"""Channel-model base machinery — fractional-delay filtering, CIR construction,
+time/frequency-domain channel application.
+
+TPU design split:
+- Host (config time): windowed-sinc fractional-delay FIR bank (Kaiser window),
+  per-path coefficient matrix (path delays are static per config), slot timing
+  tables (symbol-start sample indices).
+- Device (jit/vmap over trials): per-symbol complex path gains (from the
+  derived model), CIR = gains @ coeffMatrix (one matmul), channel offset
+  (argmax of summed CIR), frequency channel matrix (FFT of CIR), and
+  time-domain application as an FFT-based batched convolution over all paths
+  at once (replacing the reference's per-path ``scipy.signal.lfilter`` loop,
+  channelmodel.py:438-440).
+
+Behavioral parity: reference ``neoradium/channelmodel.py`` — FIR construction
+(buildFirs:249-289), coefficient matrix with causal-latency padding
+(getCoeffMatrix:292-318), per-slot gain evaluation points
+(prepareForNextSlot:321-354), channel matrix (getChannelMatrix:362-400),
+signal application (applyToSignal:403-448), gain normalization
+(getChannelGains:451-469).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..carrier import CarrierConfig
+from ..utils import toLinear, toDb
+
+
+def build_firs(filterLen: int = 16, delayQuantSize: int = 64,
+               stopBandAtten: float = 80) -> np.ndarray:
+    """(delayQuantSize+1, filterLen) polyphase windowed-sinc FIR bank."""
+    if stopBandAtten > 50:
+        beta = 0.1102 * (stopBandAtten - 8.7)
+    elif stopBandAtten < 21:
+        beta = 0.0
+    else:
+        beta = 0.5842 * (stopBandAtten - 21) ** 0.4 + 0.07886 * (stopBandAtten - 21)
+    nn = delayQuantSize * filterLen
+    win = np.kaiser(nn + 1, beta)
+    m = np.arange(-nn // 2, nn // 2 + 1) / delayQuantSize
+    fir = win * np.sinc(m)
+    fir[0: nn + 1: delayQuantSize] = 0  # zero crossings of the ideal sinc
+    fir[nn // 2] = 1
+    bank = fir[:-1].reshape(filterLen, delayQuantSize).T
+    return np.concatenate([bank, np.roll(bank[:1], -1)])
+
+
+def coeff_matrix(pathDelays_ns: np.ndarray, sampleRate: int, firs: np.ndarray,
+                 filterLen: int, delayQuantSize: int):
+    """Per-path FIR rows -> (coeffMatrix (numPaths, coeffLen), filterDelay)."""
+    delays = np.asarray(pathDelays_ns) * 1e-9 * sampleRate
+    intDelays = delays.astype(np.int32)
+    fracs = delays - intDelays
+    filterDelay = int(np.clip(filterLen // 2 - 1 - intDelays.min(), 0, None))
+    intDelays = intDelays + filterDelay
+    qIdx = np.round(delayQuantSize * (1 - fracs)).astype(np.int32)
+    fracCoeffs = firs[qIdx]                                   # (numPaths, filterLen)
+    numPaths = len(delays)
+    coeffLen = int(intDelays.max()) + filterLen // 2 + 1
+    cm = np.zeros((numPaths, coeffLen))
+    for p in range(numPaths):
+        s = intDelays[p] - filterLen // 2 + 1
+        cm[p, s: s + filterLen] = fracCoeffs[p]
+    return cm, filterDelay
+
+
+class ChannelBase:
+    """Shared channel-model machinery. Derived models implement ``nrNt`` and
+    ``path_gains(state, t0)``.
+
+    The model is *functional*: per-trial randomness lives in an explicit
+    ``state`` pytree (created by ``init_state(key)``), and the current time
+    enters as ``t0`` (slot-start sample index) — no object mutation between
+    slots. ``slot_start_sample(slotNo)`` converts the loop variable.
+    """
+
+    def __init__(self, carrier: CarrierConfig, **kwargs):
+        self.carrier = carrier
+        self.sampleRate = carrier.sampleRate
+        self.dopplerShift = kwargs.get("dopplerShift", 40)
+        self.carrierFreq = kwargs.get("carrierFreq", 3.5e9)
+        self.normalizeGains = kwargs.get("normalizeGains", True)
+        self.normalizeOutput = kwargs.get("normalizeOutput", True)
+        self.txDir = kwargs.get("txDir", "Downlink")
+        if self.txDir not in ("Downlink", "Uplink"):
+            raise ValueError("txDir must be 'Downlink' or 'Uplink'")
+        self.filterLen = kwargs.get("filterLen", 16)
+        self.stopBandAtten = kwargs.get("stopBandAtten", 80)
+        self.delayQuantSize = kwargs.get("delayQuantSize", 64)
+        self.firs = build_firs(self.filterLen, self.delayQuantSize, self.stopBandAtten)
+        # pathDelays/pathPowers set by the derived class before _finalize().
+
+    def _finalize(self):
+        """Called by derived classes once pathDelays/pathPowers are fixed."""
+        self.coeffMatrix, self.filterDelay = coeff_matrix(
+            self.pathDelays, self.sampleRate, self.firs,
+            self.filterLen, self.delayQuantSize)
+
+    # ------------------------------------------------------------- timing
+    @property
+    def coherenceTime(self) -> float:
+        return float(np.sqrt(9 / (16 * np.pi)) / self.dopplerShift)
+
+    def slot_start_sample(self, slotNo: int) -> int:
+        c = self.carrier
+        full, rem = divmod(slotNo, c.slotsPerSubFrame)
+        subframeSamples = int(c.symbolLensSubframe.sum())
+        return full * subframeSamples + int(
+            c.symbolLensSubframe[: rem * c.symbolsPerSlot].sum())
+
+    def gain_sample_offsets(self, slotNo: int = 0) -> np.ndarray:
+        """(nc+1,) sample offsets within the slot where gains are evaluated
+        (just after each symbol's CP — reference channelmodel.py:328-334)."""
+        c = self.carrier
+        s = c.slotNoInSubFrame(slotNo) * c.symbolsPerSlot
+        symLens = np.concatenate([c.symbolLensSubframe, c.symbolLensSubframe])[
+            s: s + c.symbolsPerSlot + 1].astype(np.int64)
+        symLens = symLens.copy()
+        symLens[0] -= c.nFFT
+        return np.cumsum(symLens)
+
+    def sym_lens(self, slotNo: int = 0) -> np.ndarray:
+        c = self.carrier
+        s = c.slotNoInSubFrame(slotNo) * c.symbolsPerSlot
+        return np.concatenate([c.symbolLensSubframe, c.symbolLensSubframe])[
+            s: s + c.symbolsPerSlot + 1].astype(np.int64)
+
+    def getMaxDelay(self) -> int:
+        return int(np.ceil(self.pathDelays.max() * self.sampleRate / 1e9
+                           + self.filterDelay))
+
+    # ------------------------------------------------------------- gains/CIR
+    @property
+    def nrNt(self):
+        raise NotImplementedError
+
+    def path_gains(self, state, t0, slotNo: int = 0):
+        """(nc+1, nr, nt, numPaths) complex gains at symbol starts."""
+        raise NotImplementedError
+
+    def init_state(self, key):
+        """Per-trial random channel state pytree (default: stateless)."""
+        return ()
+
+    def channel_gains(self, state, t0, slotNo: int = 0):
+        """Normalized gains (reference getChannelGains:451-469)."""
+        g = self.path_gains(state, t0, slotNo)
+        if self.normalizeOutput:
+            g = g / np.sqrt(self.nrNt[0])
+        if self.normalizeGains:
+            g = g / np.sqrt(toLinear(self.pathPowers).sum())
+        return g
+
+    def cir(self, gains):
+        """gains (nc[+1], nr, nt, pp) -> CIR (nc, nr, nt, coeffLen) + offset."""
+        cm = jnp.asarray(self.coeffMatrix, dtype=gains.real.dtype)
+        c = jnp.einsum("crtp,pl->crtl", gains, cm.astype(gains.dtype))
+        offset = jnp.argmax(jnp.sum(jnp.abs(jnp.sum(c, axis=(0, 2))), axis=0))
+        return c, offset
+
+    # ------------------------------------------------------------- outputs
+    def channel_matrix(self, state, slotNo: int = 0, t0=None):
+        """(L, K, nr, nt) frequency-domain channel for one slot."""
+        if t0 is None:
+            t0 = self.slot_start_sample(slotNo)
+        gains1 = self.channel_gains(state, t0, slotNo)
+        c, offset = self.cir(gains1[:-1])
+        nFFT = self.carrier.nFFT
+        nc, nr, nt, cl = c.shape
+        buf = jnp.zeros((nc, nr, nt, nFFT), c.dtype)
+        buf = buf.at[..., :cl].set(c)
+        buf = jnp.roll(buf, -offset, axis=-1)
+        h = jnp.fft.fft(buf, axis=-1)                          # (nc, nr, nt, nFFT)
+        K = self.carrier.numSubcarriers
+        idx = np.concatenate([np.arange(K // 2) + nFFT - K // 2, np.arange(K // 2)])
+        h = h[..., idx]                                        # (nc, nr, nt, K)
+        return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
+
+    def apply_to_signal(self, waveform, state, slotNo: int = 0, t0=None):
+        """waveform (..., nt, ns) -> received (..., nr, ns).
+
+        FFT-based linear convolution over all paths at once, then per-symbol
+        gain mix (reference applyToSignal:403-448).
+        """
+        if t0 is None:
+            t0 = self.slot_start_sample(slotNo)
+        gains1 = self.channel_gains(state, t0, slotNo)         # (nc+1, nr, nt, pp)
+        ns = waveform.shape[-1]
+        cm = self.coeffMatrix
+        pp, cl = cm.shape
+        nfft = int(2 ** np.ceil(np.log2(ns + cl)))
+        X = jnp.fft.fft(waveform, nfft, axis=-1)               # (..., nt, nfft)
+        C = jnp.fft.fft(jnp.asarray(cm), nfft, axis=-1)        # (pp, nfft)
+        y = jnp.fft.ifft(X[..., None, :, :] * C[:, None, :], axis=-1)[..., :ns]
+        # y: (..., pp, nt, ns)
+        symLens = self.sym_lens(slotNo)
+        symIdx = np.repeat(np.arange(len(symLens)), symLens)[:ns]
+        if ns > symLens.sum():
+            symIdx = np.append(symIdx, np.full(ns - symLens.sum(), len(symLens) - 1))
+        gainsPerSample = gains1[jnp.asarray(symIdx)]           # (ns, nr, nt, pp)
+        out = jnp.einsum("srtp,...pts->...rs", gainsPerSample.astype(y.dtype), y)
+        return out
+
+    def timing_offset(self, state, slotNo: int = 0, t0=None):
+        if t0 is None:
+            t0 = self.slot_start_sample(slotNo)
+        gains1 = self.channel_gains(state, t0, slotNo)
+        _, offset = self.cir(gains1[:-1])
+        return offset
