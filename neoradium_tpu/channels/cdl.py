@@ -179,17 +179,24 @@ class CdlChannel(ChannelBase):
         return (self.rxAntenna.getNumElements(), self.txAntenna.getNumElements())
 
     def _apply_kfactor_scaling(self):
-        """TR 38.901 §7.7.6 K-factor scaling Eq. 7.7.6-1/2 plus the delay
-        renormalization of reference channelmodel.py:486-491 (rms computed
-        with the PRE-scaling powers)."""
+        """TR 38.901 §7.7.6 K-factor scaling Eq. 7.7.6-1/2/3.
+
+        Deviation from the reference: channelmodel.py:486-491 computes the rms
+        delay spread as sqrt(E[(p*d)^2]-E[p*d]^2) with inconsistent weighting,
+        which is negative (NaN) for every LOS profile — the feature is unusable
+        there. We use the standard power-weighted rms delay spread
+        sqrt(sum(p*d^2)/sum(p) - (sum(p*d)/sum(p))^2) with the POST-scaling
+        powers (TR 38.901 Eq. 7.7.6-3), normalized to the configured
+        delaySpread."""
         powers = toLinear(self.pathPowers)
         kModel = toDb(powers[0] / powers[1:].sum())
         self.pathPowers = self.pathPowers.copy()
         self.pathPowers[1:] = self.pathPowers[1:] - self.kFactor + kModel
-        pd = powers * self.pathDelays
+        powers = toLinear(self.pathPowers)
         sumP = powers.sum()
-        rms = np.sqrt(np.square(pd).sum() / sumP - np.square(pd.sum() / sumP))
-        self.pathDelays = self.pathDelays / rms
+        meanD = (powers * self.pathDelays).sum() / sumP
+        rms = np.sqrt((powers * self.pathDelays ** 2).sum() / sumP - meanD ** 2)
+        self.pathDelays = self.pathDelays * (self.delaySpread / rms)
 
     @staticmethod
     def _wrap_pm_pi(a):

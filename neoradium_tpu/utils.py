@@ -21,12 +21,16 @@ def toDegrees(rad):
 
 
 def toLinear(db):
-    """dB -> linear power ratio."""
+    """dB -> linear power ratio (jit-safe for traced arrays)."""
+    if isinstance(db, jnp.ndarray) and not isinstance(db, np.ndarray):
+        return 10.0 ** (db / 10.0)
     return 10.0 ** (np.asarray(db, dtype=np.float64) / 10.0)
 
 
 def toDb(x):
-    """linear power ratio -> dB."""
+    """linear power ratio -> dB (jit-safe for traced arrays)."""
+    if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+        return 10.0 * jnp.log10(x)
     return 10.0 * np.log10(x)
 
 

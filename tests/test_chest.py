@@ -1,0 +1,74 @@
+"""LS channel-estimation golden tests vs reference estimateChannelLS.
+
+Fixtures from ``tools/make_golden.py`` (chest): noisy rx grids through a
+random frequency channel, with the reference's estimated channel + noiseVar.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.phy.pdsch import PdschConfig
+from neoradium_tpu.rx.chest import LsChannelEstimator, interp_matrix
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "chest.npz")
+
+CASES = {
+    "c1": (dict(numRbs=25, spacing=30), dict(numLayers=2, modulation="QPSK"),
+           dict(configType=2, additionalPos=2)),
+    "c2": (dict(numRbs=12, spacing=15), dict(numLayers=1, modulation="16QAM"),
+           dict()),
+    "c3": (dict(numRbs=20, spacing=30), dict(numLayers=4, modulation="16QAM"),
+           dict(configType=1, symbols=2)),
+}
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+def make_estimator(tag):
+    carkw, pkw, dkw = CASES[tag]
+    cfg = PdschConfig(CarrierConfig(**carkw), **pkw)
+    cfg.setDMRS(**dkw)
+    return LsChannelEstimator(cfg, slotNo=0)
+
+
+@pytest.mark.parametrize("tag", list(CASES))
+def test_hest_matches_reference(tag, golden):
+    est = make_estimator(tag)
+    h, nv = est.estimate(jnp.asarray(golden[f"{tag}_noisy"]))
+    ref = golden[f"{tag}_hEst"]
+    err = np.abs(np.asarray(h) - ref).max() / np.abs(ref).max()
+    assert err < 1e-9, (tag, err)
+    refNv = float(golden[f"{tag}_noiseVar"])
+    # c3 has multiple CDM groups where the reference noise loop reads stale
+    # subcarrier indexes (see chest.py docstring) — small deviation expected.
+    tol = 1e-2 if tag == "c3" else 1e-6
+    assert abs(float(nv) - refNv) / refNv < tol, (float(nv), refNv)
+
+
+def test_estimator_batches_and_jits(golden):
+    est = make_estimator("c1")
+    rx = jnp.asarray(golden["c1_noisy"])
+    batched = jnp.stack([rx, rx * (0.5 + 0.5j)])
+    h, nv = jax.jit(est.estimate)(batched)
+    assert h.shape == (2,) + golden["c1_hEst"].shape
+    assert nv.shape == (2,)
+    err = np.abs(np.asarray(h[0]) - golden["c1_hEst"]).max()
+    assert err < 1e-6
+
+
+def test_interp_matrix_linear_extrapolates():
+    x = np.asarray([2.0, 5.0, 9.0])
+    v = np.asarray([1.0, 7.0, -1.0])
+    t = np.arange(12.0)
+    W = interp_matrix(x, t)
+    got = W @ v
+    from scipy.interpolate import interp1d
+    ref = interp1d(x, v, kind="linear", fill_value="extrapolate")(t)
+    assert np.abs(got - ref).max() < 1e-12

@@ -165,6 +165,97 @@ def pdsch():
     np.savez_compressed(f"{OUT}/pdsch.npz", **out)
 
 
+def cdl():
+    from neoradium import Carrier, AntennaPanel, CdlChannel, Waveform
+
+    rng = np.random.default_rng(31)
+    out = {}
+    cases = {
+        # NLOS profile, cross-pol panels, custom doppler/direction
+        "a": dict(profile="A", delaySpread=30, dopplerShift=55, ueDirAZ=[10, 80],
+                  tx=([2, 2], "x"), rx=([1, 2], "+")),
+        # LOS profile (reference kFactor scaling NaNs for all LOS profiles,
+        # so K-factor goldens are impossible; see CdlChannel._apply_kfactor_scaling)
+        "d": dict(profile="D", delaySpread=100, dopplerShift=25, ueDirAZ=[0, 90],
+                  tx=([2, 1], "|"), rx=([1, 1], "|")),
+        # LOS profile E, mixed polarization panels
+        "e": dict(profile="E", delaySpread=300, dopplerShift=5, ueDirAZ=[45, 45],
+                  tx=([2, 2], "|"), rx=([1, 2], "x")),
+    }
+    for tag, kw in cases.items():
+        carrier = Carrier(numRbs=12, spacing=30)
+        bwp = carrier.curBwp
+        profile = kw["profile"]
+        n = {"A": 23, "B": 23, "C": 24, "D": 13, "E": 14}[profile]
+        m = 20
+        coupling = np.stack([np.stack([rng.permutation(m) for _ in range(n)])
+                             for _ in range(3)]).astype(np.int32)
+        phases = rng.uniform(-180, 180, (2, 2, n, m))
+        chanKw = dict(delaySpread=kw["delaySpread"], carrierFreq=3.5e9,
+                      dopplerShift=kw["dopplerShift"], ueDirAZ=kw["ueDirAZ"],
+                      txAntenna=AntennaPanel(kw["tx"][0], polarization=kw["tx"][1]),
+                      rxAntenna=AntennaPanel(kw["rx"][0], polarization=kw["rx"][1]),
+                      rayCoupling=coupling, initialPhases=phases)
+        if "kFactor" in kw:
+            chanKw["kFactor"] = kw["kFactor"]
+        ch = CdlChannel(bwp, profile, **chanKw)
+        h0 = ch.getChannelMatrix()
+        ch.goNext()
+        carrier.goNext()
+        h1 = ch.getChannelMatrix()
+        nt = ch.nrNt[1]
+        slotLen = int(bwp.getSlotLen())
+        sig = (rng.normal(size=(nt, slotLen + ch.getMaxDelay()))
+               + 1j * rng.normal(size=(nt, slotLen + ch.getMaxDelay())))
+        ch.restart()
+        y = ch.applyToSignal(Waveform(sig)).waveform
+        out[f"{tag}_coupling"] = coupling
+        out[f"{tag}_phases"] = phases
+        out[f"{tag}_h0"] = h0
+        out[f"{tag}_h1"] = h1
+        out[f"{tag}_sig"] = sig
+        out[f"{tag}_y"] = y
+        out[f"{tag}_offset"] = np.array(ch.getTimingOffset())
+        out[f"{tag}_maxDelay"] = np.array(ch.getMaxDelay())
+    np.savez_compressed(f"{OUT}/cdl.npz", **out)
+
+
+def chest():
+    from neoradium import Carrier, PDSCH
+
+    rng = np.random.default_rng(11)
+    out = {}
+    cases = {
+        "c1": (dict(numRbs=25, spacing=30), dict(numLayers=2, modulation="QPSK"),
+               dict(configType=2, additionalPos=2)),
+        "c2": (dict(numRbs=12, spacing=15), dict(numLayers=1, modulation="16QAM"),
+               dict()),
+        "c3": (dict(numRbs=20, spacing=30), dict(numLayers=4, modulation="16QAM"),
+               dict(configType=1, symbols=2)),
+    }
+    for tag, (carkw, pkw, dkw) in cases.items():
+        car = Carrier(**carkw)
+        p = PDSCH(car.curBwp, **pkw)
+        p.setDMRS(**dkw)
+        g = p.getGrid()
+        nl = pkw["numLayers"]
+        nr = nl + 1
+        L, K = g.shape[1], g.shape[2]
+        h = (rng.normal(size=(L, K, nr, nl))
+             + 1j * rng.normal(size=(L, K, nr, nl))) / np.sqrt(2)
+        rx = g.applyChannel(h)
+        noisy = rx.grid + 0.02 * (rng.normal(size=rx.shape)
+                                  + 1j * rng.normal(size=rx.shape))
+        rxg = rx.clone()
+        rxg.grid = noisy
+        refH, refNv = rxg.estimateChannelLS(p.dmrs)
+        out[f"{tag}_noisy"] = noisy
+        out[f"{tag}_h"] = h
+        out[f"{tag}_hEst"] = refH
+        out[f"{tag}_noiseVar"] = np.array(refNv)
+    np.savez_compressed(f"{OUT}/chest.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -173,4 +264,6 @@ if __name__ == "__main__":
     ofdm()
     ldpc()
     pdsch()
+    cdl()
+    chest()
     print("golden fixtures written to", OUT)
