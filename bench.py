@@ -21,14 +21,21 @@ def main():
     import jax
     import jax.numpy as jnp
     from neoradium_tpu.carrier import CarrierConfig
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
     from neoradium_tpu.sim.link import PdschLinkSim
     from neoradium_tpu.sim.sweep import make_point_fn, make_trial_keys
 
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9, dopplerShift=5,
+                      txAntenna=AntennaPanel((2, 2), polarization="x"),   # 8 tx
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))   # 2 rx
     sim = PdschLinkSim(
-        CarrierConfig(numRbs=51, spacing=30),
+        car,
         pdschKw=dict(numLayers=2, modulation="16QAM"),
         dmrsKw=dict(configType=2, additionalPos=2),
-        codeRate=490 / 1024, domain="time")
+        codeRate=490 / 1024, domain="freq",
+        channelModel=chan, chEst="ls", decoderIter=5)
     point_fn = make_point_fn(sim.make_trial_fn())
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256

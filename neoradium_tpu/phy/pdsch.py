@@ -281,6 +281,44 @@ class PdschConfig:
             fK[reIdx] = group_precoder(reIdx)
         return fK
 
+    def _prg_re_groups(self) -> list[np.ndarray]:
+        """Static RE index groups for precoding (one group when wideband)."""
+        if self.prgSize == 0:
+            return [np.asarray([rb * 12 + r for rb in self.prbSet for r in range(12)],
+                               np.int32)]
+        groups: dict[int, list[int]] = {}
+        for prb in self.prbSet:
+            groups.setdefault((int(prb) + self.carrier.startRb) // self.prgSize,
+                              []).append(int(prb))
+        return [np.asarray([rb * 12 + r for rb in rbs for r in range(12)], np.int32)
+                for _, rbs in sorted(groups.items())]
+
+    def precoding_matrix_traced(self, channelMatrix: jnp.ndarray) -> jnp.ndarray:
+        """Jit-safe SVD precoder (same math as :meth:`getPrecodingMatrix`).
+
+        channelMatrix: traced (..., L, K, Nr, Nt). Returns (..., Nt, Nl)
+        wideband or (..., K, Nt, Nl) for PRG precoding — shapes accepted by
+        :func:`neoradium_tpu.grid.precode`.
+        """
+        groups = self._prg_re_groups()
+        nl = self.numLayers
+
+        def group_precoder(reIdx):
+            h = jnp.mean(channelMatrix[..., :, reIdx, :, :], axis=(-4, -3))
+            _, _, vH = jnp.linalg.svd(h, full_matrices=True)
+            v = jnp.swapaxes(jnp.conj(vH), -1, -2)
+            return v[..., :, :nl] / np.sqrt(nl)
+
+        if self.prgSize == 0:
+            return group_precoder(groups[0])
+        K = channelMatrix.shape[-3]
+        nt = channelMatrix.shape[-1]
+        fK = jnp.zeros(channelMatrix.shape[:-4] + (K, nt, nl), channelMatrix.dtype)
+        for reIdx in groups:
+            f = group_precoder(reIdx)
+            fK = fK.at[..., reIdx, :, :].set(f[..., None, :, :])
+        return fK
+
 
 class PdschSlotPlan:
     """Static per-slot PDSCH plan: pilot grid + flat index tables + sequences."""

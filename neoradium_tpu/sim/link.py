@@ -29,8 +29,9 @@ from ..coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
 from ..ofdm import OfdmContext
 from ..phy.pdsch import PdschConfig
 from ..random import PRNG
-from ..grid import apply_channel_freq
+from ..grid import apply_channel_freq, precode
 from ..rx.equalize import mmse_equalize
+from ..rx.chest import LsChannelEstimator
 
 
 class PdschLinkSim:
@@ -52,19 +53,30 @@ class PdschLinkSim:
     def __init__(self, carrier: CarrierConfig, pdschKw: dict | None = None,
                  dmrsKw: dict | None = None, codeRate: float = 490 / 1024,
                  slotNo: int = 0, domain: str = "time", numRx: int | None = None,
-                 decoderIter: int = 5, windowing: bool = False, seed: int = 0):
+                 decoderIter: int = 5, windowing: bool = False, seed: int = 0,
+                 channelModel=None, chEst: str = "perfect",
+                 useRxPower: bool = True):
         if domain not in ("time", "freq"):
             raise ValueError("domain must be 'time' or 'freq'")
+        if chEst not in ("perfect", "ls"):
+            raise ValueError("chEst must be 'perfect' or 'ls'")
         self.carrier = carrier
         self.domain = domain
         self.decoderIter = decoderIter
         self.windowing = windowing
+        self.channelModel = channelModel
+        self.chEst = chEst
+        self.useRxPower = useRxPower
         self.pdsch = PdschConfig(carrier, **(pdschKw or {}))
         self.pdsch.setDMRS(**(dmrsKw or {}))
         self.plan = self.pdsch.plan(slotNo)
         self.slotNo = slotNo
+        if channelModel is not None:
+            numRx = channelModel.nrNt[0]
         self.numRx = numRx if numRx is not None else self.pdsch.numLayers
         self.codeRate = codeRate
+        self.estimator = (LsChannelEstimator(self.pdsch, slotNo)
+                          if (channelModel is not None and chEst == "ls") else None)
 
         self.tbs = self.pdsch.getTxBlockSize(codeRate)
         self.ldpc = []
@@ -93,7 +105,7 @@ class PdschLinkSim:
         """
         plan, pdsch = self.plan, self.pdsch
         numCW = pdsch.numCW
-        kBits, kNoise = jax.random.split(key)
+        kBits, kNoise, kChan = jax.random.split(key, 3)
         snr = 10.0 ** (snrDb / 10.0)
 
         # TX
@@ -105,27 +117,69 @@ class PdschLinkSim:
             rmBits.append(self.ldpc[q][0].encode_tb(payload))
         grid = plan.populate(rmBits if numCW > 1 else rmBits[0])   # (Nl, L, K)
 
-        if channel is not None:
-            rxGrid0 = apply_channel_freq(grid, channel)            # (Nr, L, K)
+        chan = self.channelModel
+        if chan is not None:
+            # stochastic fading channel: fresh realization per trial
+            state = chan.init_state(kChan)
+            H = chan.channel_matrix(state, self.slotNo)            # (L, K, nr, nt)
+            F = pdsch.precoding_matrix_traced(H)                   # (nt, nl)/(K, nt, nl)
+            txGrid = precode(grid, F)                              # (nt, L, K)
+        elif channel is not None:
+            H, F = channel, None
+            txGrid = grid
         else:
-            rxGrid0 = grid
-        nr = rxGrid0.shape[-3]
+            H, F = None, None
+            txGrid = grid
+        nr = self.numRx if chan is not None else (
+            channel.shape[-2] if channel is not None else grid.shape[-3])
 
-        # channel + AWGN
+        # channel application + AWGN
         if self.domain == "time":
-            wf = self.ofdm.modulate(rxGrid0, windowing=self.windowing)
-            sigma = jnp.sqrt(1.0 / (snr * nr * self.carrier.nFFT))
-            noisy = wf + PRNG.awgn_from_key(kNoise, wf.shape, 1.0) * sigma.astype(jnp.float32)
+            wf = self.ofdm.modulate(txGrid, windowing=self.windowing)
+            if chan is not None:
+                wf = jnp.pad(wf, [(0, 0)] * (wf.ndim - 1) + [(0, chan.getMaxDelay())])
+                rxWf = chan.apply_to_signal(wf, state, self.slotNo)
+            elif channel is not None:
+                raise ValueError("Static freq channel requires domain='freq'")
+            else:
+                rxWf = wf
+            if self.useRxPower and chan is not None:
+                # reference waveform.py:107-142: per-RE power from CP-stripped
+                # FFT windows, sigma^2 = rePower*nFFT/snr
+                fftW = rxWf[..., jnp.asarray(self.ofdm.tables["demod_idx"])]
+                x = fftW.reshape(fftW.shape[:-3] + (-1,))
+                rePow = jnp.var(x, axis=-1) / self.carrier.numSubcarriers
+                sigma = jnp.sqrt(rePow * self.carrier.nFFT / snr)
+            else:
+                sigma = jnp.sqrt(1.0 / (snr * nr * self.carrier.nFFT))
+            noisy = rxWf + PRNG.awgn_from_key(kNoise, rxWf.shape, 1.0) \
+                * sigma.astype(jnp.float32)
+            if chan is not None:
+                offset = chan.timing_offset(state, self.slotNo)
+                noisy = jax.lax.dynamic_slice_in_dim(
+                    noisy, offset, self.ofdm.numSamples, axis=-1)
             rxGrid = self.ofdm.demodulate(noisy)
             noiseVar = sigma ** 2 * self.carrier.nFFT
         else:
-            sigma = jnp.sqrt(1.0 / (snr * nr))
+            rxGrid0 = apply_channel_freq(txGrid, H) if H is not None else txGrid
+            if self.useRxPower and chan is not None:
+                # reference grid.py:1028-1046: sigma^2 = grid.var()/snr
+                x = rxGrid0.reshape(rxGrid0.shape[:-3] + (-1,))
+                sigma = jnp.sqrt(jnp.var(x, axis=-1) / snr)
+            else:
+                sigma = jnp.sqrt(1.0 / (snr * nr))
             rxGrid = rxGrid0 + PRNG.awgn_from_key(
                 kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
             noiseVar = sigma ** 2
 
-        # RX
-        if channel is not None:
+        # RX: channel estimation + equalization
+        if chan is not None:
+            if self.chEst == "ls":
+                hEff, _estNv = self.estimator.estimate(rxGrid)
+            else:
+                hEff = H @ (F if F.ndim >= 3 else F[None, None])   # (L, K, nr, nl)
+            eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
+        elif channel is not None:
             eqGrid, llrScales = mmse_equalize(rxGrid, channel, noiseVar)
         else:
             eqGrid, llrScales = rxGrid, None

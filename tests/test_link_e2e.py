@@ -58,6 +58,29 @@ def test_sharded_sweep_matches_single_device(awgn_sim):
     assert a["blockErrors"] == b["blockErrors"]
 
 
+@pytest.mark.parametrize("domain,chEst", [("freq", "perfect"), ("freq", "ls"),
+                                          ("time", "ls")])
+def test_cdl_fading_link(domain, chEst):
+    """Full fading pipeline: CDL channel, SVD precoding, (LS estimation),
+    MMSE equalization — error-free at high SNR, total failure at low SNR."""
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
+    car = CarrierConfig(numRbs=6, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=100, dopplerShift=10,
+                      txAntenna=AntennaPanel((2, 1), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="QPSK"),
+                       dmrsKw=dict(configType=2, additionalPos=1),
+                       codeRate=449 / 1024, domain=domain,
+                       channelModel=chan, chEst=chEst, decoderIter=8)
+    trial = jax.jit(jax.vmap(sim.make_trial_fn(), in_axes=(0, None)))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    hi = trial(keys, jnp.float32(28.0))
+    lo = trial(keys, jnp.float32(-12.0))
+    assert int(hi["blockErrors"].sum()) == 0, (domain, chEst)
+    assert int(lo["blockErrors"].sum()) == 4, (domain, chEst)
+
+
 def test_graft_entry_compiles():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
