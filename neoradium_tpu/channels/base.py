@@ -113,6 +113,28 @@ class ChannelBase:
         return full * subframeSamples + int(
             c.symbolLensSubframe[: rem * c.symbolsPerSlot].sum())
 
+    def gain_times(self, slotNo):
+        """(nc+1,) absolute sample indices where gains are evaluated.
+
+        ``slotNo`` may be a Python int or a traced int32 (for ``lax.scan``
+        over slots) — all per-slot tables are static stacks indexed by
+        slot-in-subframe, so the traced path is a single gather.
+        """
+        c = self.carrier
+        spsf = c.slotsPerSubFrame
+        subframeSamples = int(c.symbolLensSubframe.sum())
+        cumStarts = np.asarray(
+            [int(c.symbolLensSubframe[: r * c.symbolsPerSlot].sum())
+             for r in range(spsf)], np.int64)
+        offsets = np.stack([self.gain_sample_offsets(r) for r in range(spsf)])
+        if isinstance(slotNo, (int, np.integer)):
+            full, rem = divmod(int(slotNo), spsf)
+            return full * subframeSamples + cumStarts[rem] + offsets[rem]
+        full = slotNo // spsf
+        rem = slotNo % spsf
+        return (full * subframeSamples + jnp.asarray(cumStarts)[rem]
+                + jnp.asarray(offsets)[rem])
+
     def gain_sample_offsets(self, slotNo: int = 0) -> np.ndarray:
         """(nc+1,) sample offsets within the slot where gains are evaluated
         (just after each symbol's CP — reference channelmodel.py:328-334)."""
@@ -139,17 +161,17 @@ class ChannelBase:
     def nrNt(self):
         raise NotImplementedError
 
-    def path_gains(self, state, t0, slotNo: int = 0):
-        """(nc+1, nr, nt, numPaths) complex gains at symbol starts."""
+    def path_gains(self, state, tSamples):
+        """(nc+1, nr, nt, numPaths) complex gains at sample times tSamples."""
         raise NotImplementedError
 
     def init_state(self, key):
         """Per-trial random channel state pytree (default: stateless)."""
         return ()
 
-    def channel_gains(self, state, t0, slotNo: int = 0):
+    def channel_gains(self, state, tSamples):
         """Normalized gains (reference getChannelGains:451-469)."""
-        g = self.path_gains(state, t0, slotNo)
+        g = self.path_gains(state, tSamples)
         if self.normalizeOutput:
             g = g / np.sqrt(self.nrNt[0])
         if self.normalizeGains:
@@ -164,11 +186,11 @@ class ChannelBase:
         return c, offset
 
     # ------------------------------------------------------------- outputs
-    def channel_matrix(self, state, slotNo: int = 0, t0=None):
-        """(L, K, nr, nt) frequency-domain channel for one slot."""
-        if t0 is None:
-            t0 = self.slot_start_sample(slotNo)
-        gains1 = self.channel_gains(state, t0, slotNo)
+    def channel_matrix(self, state, slotNo=0):
+        """(L, K, nr, nt) frequency-domain channel for one slot.
+
+        ``slotNo`` may be traced (see :meth:`gain_times`)."""
+        gains1 = self.channel_gains(state, self.gain_times(slotNo))
         c, offset = self.cir(gains1[:-1])
         nFFT = self.carrier.nFFT
         nc, nr, nt, cl = c.shape
@@ -181,15 +203,14 @@ class ChannelBase:
         h = h[..., idx]                                        # (nc, nr, nt, K)
         return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
 
-    def apply_to_signal(self, waveform, state, slotNo: int = 0, t0=None):
+    def apply_to_signal(self, waveform, state, slotNo: int = 0):
         """waveform (..., nt, ns) -> received (..., nr, ns).
 
         FFT-based linear convolution over all paths at once, then per-symbol
-        gain mix (reference applyToSignal:403-448).
+        gain mix (reference applyToSignal:403-448). ``slotNo`` must be a host
+        int here (the per-sample symbol map is a static gather).
         """
-        if t0 is None:
-            t0 = self.slot_start_sample(slotNo)
-        gains1 = self.channel_gains(state, t0, slotNo)         # (nc+1, nr, nt, pp)
+        gains1 = self.channel_gains(state, self.gain_times(slotNo))  # (nc+1, nr, nt, pp)
         ns = waveform.shape[-1]
         cm = self.coeffMatrix
         pp, cl = cm.shape
@@ -206,9 +227,7 @@ class ChannelBase:
         out = jnp.einsum("srtp,...pts->...rs", gainsPerSample.astype(y.dtype), y)
         return out
 
-    def timing_offset(self, state, slotNo: int = 0, t0=None):
-        if t0 is None:
-            t0 = self.slot_start_sample(slotNo)
-        gains1 = self.channel_gains(state, t0, slotNo)
+    def timing_offset(self, state, slotNo=0):
+        gains1 = self.channel_gains(state, self.gain_times(slotNo))
         _, offset = self.cir(gains1[:-1])
         return offset

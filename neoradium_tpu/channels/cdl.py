@@ -282,7 +282,7 @@ class CdlChannel(ChannelBase):
         return dict(coupling=coupling, phases=phases)
 
     # --------------------------------------------------------------- gains
-    def _doppler(self, thetaA, phiA, t0, slotNo):
+    def _doppler(self, thetaA, phiA, tSamples):
         vPhi, vTheta = self.ueDirAZ
         dBar = self.dopplerShift * jnp.asarray(
             [np.sin(vTheta) * np.cos(vPhi), np.sin(vTheta) * np.sin(vPhi),
@@ -290,11 +290,11 @@ class CdlChannel(ChannelBase):
         sinT = jnp.sin(thetaA)
         rHat = jnp.stack([sinT * jnp.cos(phiA), sinT * jnp.sin(phiA),
                           jnp.cos(thetaA)])
-        t = (t0 + jnp.asarray(self.gain_sample_offsets(slotNo))) / self.sampleRate
+        t = jnp.asarray(tSamples) / self.sampleRate
         dot = jnp.einsum("i...,i->...", rHat, dBar)
         return jnp.exp(2j * jnp.pi * t.reshape((-1,) + (1,) * dot.ndim) * dot)
 
-    def _nlos_gains(self, state, t0, slotNo):
+    def _nlos_gains(self, state, tSamples):
         n, m = self.n, self.m
         rows = jnp.arange(n)[:, None]
         cpl = state["coupling"]
@@ -309,7 +309,7 @@ class CdlChannel(ChannelBase):
 
         fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD, self.txOrientation)
         fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA, self.rxOrientation)
-        doppler = self._doppler(thetaA, phiA, t0, slotNo)        # (nc+1, n, m)
+        doppler = self._doppler(thetaA, phiA, tSamples)          # (nc+1, n, m)
 
         # Eq. 7.5-22: fieldRx^T . polMat . fieldTx, per (ray, cluster)
         h = jnp.einsum("ranm,abnm,tbnm->rtnm", fieldRx.astype(polMat.dtype),
@@ -320,7 +320,7 @@ class CdlChannel(ChannelBase):
         h = h * jnp.sqrt(jnp.asarray(self._pN) / m)
         return h                                                # (nc+1, nr, nt, n)
 
-    def _los_gains(self, t0, slotNo):
+    def _los_gains(self, tSamples):
         thetaD = jnp.asarray(self._losThetaD)
         phiD = jnp.asarray(self._losPhiD)
         thetaA = jnp.asarray(self._losThetaA)
@@ -329,14 +329,14 @@ class CdlChannel(ChannelBase):
         fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD, self.txOrientation)
         fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA, self.rxOrientation)
         polMat = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
-        doppler = self._doppler(thetaA, phiA, t0, slotNo)[:, 0, 0]  # (nc+1,)
+        doppler = self._doppler(thetaA, phiA, tSamples)[:, 0, 0]    # (nc+1,)
         h = jnp.einsum("ra,ab,tb->rt", fieldRx[..., 0, 0], polMat, fieldTx[..., 0, 0])
         h = h * locRx[:, None, 0, 0] * locTx[None, :, 0, 0]
         h = h[None] * doppler[:, None, None]
         return (h * np.sqrt(pN))[..., None]                     # (nc+1, nr, nt, 1)
 
-    def path_gains(self, state, t0, slotNo: int = 0):
-        g = self._nlos_gains(state, t0, slotNo)
+    def path_gains(self, state, tSamples):
+        g = self._nlos_gains(state, tSamples)
         if self.hasLos:
-            g = jnp.concatenate([self._los_gains(t0, slotNo), g], axis=-1)
+            g = jnp.concatenate([self._los_gains(tSamples), g], axis=-1)
         return g

@@ -1,0 +1,204 @@
+"""HARQ — hybrid-ARQ retransmission with Chase combining (CC) or incremental
+redundancy (IR), multi-process entity, per-try statistics.
+
+Behavioral parity: reference ``neoradium/harq.py`` — per-codeword state
+machine (HarqCW.update harq.py:181-204: try counter, rv from rvSequence,
+timeout at maxTries), round-robin process entity (goNext harq.py:626-634),
+statistics (txBits/rxBits per try, throughput/BLER/meanTries
+harq.py:599-612). Soft combining happens in LDPC rate recovery by
+accumulating into the decode buffer (reference ldpc.py:1377-1412 ==
+``LdpcDecoder.recover_rate(softBuffer=...)`` here).
+
+TPU design: the reference's mutable object graph becomes an explicit carry
+pytree in a ``lax.scan`` over slots. Data-dependent control flow (new TX vs
+re-TX, rv selection) is jnp.where / lax.switch over statically-built rv
+variants of the rate-match gather — shapes never change. Trials vmap over
+the whole scan; each trial carries its own channel state so fading is
+correlated ACROSS slots within a trial (Doppler continuity via absolute
+slot sample times) and independent across trials.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid import apply_channel_freq, precode
+from ..rx.equalize import mmse_equalize
+from .link import PdschLinkSim
+
+
+@dataclass(frozen=True)
+class HarqConfig:
+    """HARQ entity parameters (reference harq.py:366-540 vocabulary)."""
+
+    numProc: int = 8
+    maxTries: int = 4
+    harqType: str = "IR"              # 'IR' or 'CC'
+    rvSequence: tuple = (0, 2, 3, 1)
+
+    def __post_init__(self):
+        if not 1 <= self.numProc <= 32:
+            raise ValueError("numProc must be in [1..32]")
+        if self.harqType not in ("IR", "CC"):
+            raise ValueError("harqType must be 'IR' or 'CC'")
+
+    def rv_for_try(self, tryNum: int) -> int:
+        if self.harqType == "CC":
+            return 0
+        return self.rvSequence[tryNum % len(self.rvSequence)]
+
+
+class PdschHarqSim:
+    """Monte-Carlo PDSCH link with HARQ over a sequence of slots.
+
+    Wraps a :class:`PdschLinkSim` (frequency-domain channel path) and runs
+    ``numSlots`` slots per trial under ``lax.scan``; the fading channel
+    evolves over slots within a trial (reference §3.2 throughput loop).
+    Single-codeword configs (numLayers <= 4) for now, matching the
+    reference throughput notebook.
+    """
+
+    def __init__(self, linkSim: PdschLinkSim, harq: HarqConfig | None = None,
+                 numSlots: int = 20):
+        if linkSim.pdsch.numCW != 1:
+            raise ValueError("HARQ sim currently supports single-codeword PDSCH")
+        if linkSim.domain != "freq":
+            raise ValueError("HARQ sim uses the frequency-domain channel path")
+        if linkSim.channelModel is None:
+            raise ValueError("HARQ sim needs a channel model")
+        self.sim = linkSim
+        self.harq = harq or HarqConfig()
+        self.numSlots = numSlots
+        self.enc, self.dec = linkSim.ldpc[0]
+        self.tbs = linkSim.tbs[0]
+
+    # ------------------------------------------------------------------ scan
+    def run_trial(self, key: jax.Array, snrDb):
+        """One trial: scan numSlots slots. Returns per-try stats dict."""
+        sim, harq = self.sim, self.harq
+        plan, pdsch = sim.plan, sim.pdsch
+        enc, dec = self.enc, self.dec
+        cfg = enc.cfg
+        chan = sim.channelModel
+        snr = 10.0 ** (snrDb / 10.0)
+        maxTries = harq.maxTries
+
+        kChan, kLoop = jax.random.split(key)
+        chanState = chan.init_state(kChan)
+
+        # rv-variant branches (static index tables per rv)
+        rvForTry = [harq.rv_for_try(t) for t in range(maxTries)]
+        rm_branches = [lambda coded, rv=rv: enc.rate_match(coded, rv)
+                       for rv in rvForTry]
+
+        def rr_branch(rv):
+            def f(args):
+                llrs, buf = args
+                return dec.recover_rate(llrs, rv, buf)
+            return f
+        rr_branches = [rr_branch(rv) for rv in rvForTry]
+
+        C, K = cfg.numCodeBlocks, cfg.codeBlockSize
+        carry0 = dict(
+            payload=jnp.zeros((harq.numProc, self.tbs), jnp.int8),
+            softBuf=jnp.zeros((harq.numProc, C, cfg.cirBufSize), jnp.float32),
+            curTry=jnp.zeros((harq.numProc,), jnp.int32),
+        )
+
+        def step(carry, slotNo):
+            proc = slotNo % harq.numProc
+            curTry = carry["curTry"][proc]
+            newTx = curTry == 0
+            kSlot = jax.random.fold_in(kLoop, slotNo)
+            kBits, kNoise = jax.random.split(kSlot)
+
+            newPayload = jax.random.bernoulli(
+                kBits, 0.5, (self.tbs,)).astype(jnp.int8)
+            payload = jnp.where(newTx, newPayload, carry["payload"][proc])
+
+            # TX: encode every slot (cheap, keeps shapes static); re-TX just
+            # re-rate-matches the same coded bits at the new rv.
+            coded = enc.encode(enc.segment(payload))
+            bits = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
+                                  rm_branches, coded)
+            grid = plan.populate(bits)
+
+            # channel with slot-continuous fading + precoding
+            H = chan.channel_matrix(chanState, slotNo)
+            F = pdsch.precoding_matrix_traced(H)
+            txGrid = precode(grid, F)
+            rxGrid0 = apply_channel_freq(txGrid, H)
+            x = rxGrid0.reshape(-1)
+            sigma = jnp.sqrt(jnp.var(x) / snr)
+            from ..random import PRNG
+            rxGrid = rxGrid0 + PRNG.awgn_from_key(
+                kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
+            noiseVar = sigma ** 2
+
+            if sim.chEst == "ls":
+                hEff, _ = sim.estimator.estimate(rxGrid)
+            else:
+                hEff = H @ (F if F.ndim >= 3 else F[None, None])
+            eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
+            llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)[0]
+
+            softIn = jnp.where(newTx, 0.0, carry["softBuf"][proc])
+            rec, buf = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
+                                      rr_branches, (llrs, softIn))
+            decoded = dec.decode(rec, numIter=sim.decoderIter)
+            merged, cbOk = dec.check_crc_and_merge(decoded)
+            ok = jnp.all(cbOk, axis=-1)
+
+            timeout = (~ok) & (curTry + 1 >= maxTries)
+            nextTry = jnp.where(ok | timeout, 0, curTry + 1)
+            carry = dict(
+                payload=carry["payload"].at[proc].set(payload),
+                softBuf=carry["softBuf"].at[proc].set(buf),
+                curTry=carry["curTry"].at[proc].set(nextTry),
+            )
+            bitErr = jnp.sum(merged[..., :self.tbs] != payload, dtype=jnp.int32)
+            y = dict(tryNo=curTry, ok=ok, timeout=timeout, bitErrors=bitErr)
+            return carry, y
+
+        _, ys = jax.lax.scan(step, carry0, jnp.arange(self.numSlots))
+
+        # per-try histograms (reference harq.py:update)
+        tries = ys["tryNo"]
+        okF = ys["ok"]
+        oneHot = (tries[:, None] == jnp.arange(maxTries)[None, :])
+        txBlocks = jnp.sum(oneHot, axis=0, dtype=jnp.int32)
+        rxBlocks = jnp.sum(oneHot & okF[:, None], axis=0, dtype=jnp.int32)
+        return dict(
+            txBlocks=txBlocks, rxBlocks=rxBlocks,
+            txBits=txBlocks * self.tbs, rxBits=rxBlocks * self.tbs,
+            numTimeouts=jnp.sum(ys["timeout"], dtype=jnp.int32),
+            bitErrors=jnp.sum(ys["bitErrors"], dtype=jnp.int32),
+        )
+
+    def make_trial_fn(self):
+        return self.run_trial
+
+    # ------------------------------------------------------------------ stats
+    @staticmethod
+    def stats(metrics: dict) -> dict:
+        """Aggregate reference-style statistics (harq.py:599-612)."""
+        txBits = float(np.sum(metrics["txBits"]))
+        rxBits = float(np.sum(metrics["rxBits"]))
+        txBlocks = np.sum(np.asarray(metrics["txBlocks"]), axis=0) \
+            if np.asarray(metrics["txBlocks"]).ndim > 1 else np.asarray(metrics["txBlocks"])
+        rxBlocks = np.sum(np.asarray(metrics["rxBlocks"]), axis=0) \
+            if np.asarray(metrics["rxBlocks"]).ndim > 1 else np.asarray(metrics["rxBlocks"])
+        timeouts = float(np.sum(metrics["numTimeouts"]))
+        maxTries = len(txBlocks)
+        totalRx = float(rxBlocks.sum())
+        return dict(
+            throughput=100.0 * rxBits / max(txBits, 1),
+            bler=100.0 * (txBlocks.sum() - rxBlocks.sum()) / max(txBlocks.sum(), 1),
+            meanTries=((rxBlocks * np.arange(maxTries)).sum() + timeouts * maxTries)
+            / max(totalRx + timeouts, 1),
+            txBlocksPerTry=txBlocks.tolist(), rxBlocksPerTry=rxBlocks.tolist(),
+            numTimeouts=timeouts,
+        )
