@@ -25,3 +25,11 @@ from . import crc
 from .ofdm import OfdmContext
 from .coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
 from .random import PRNG
+from .grid import HostGrid, precode, apply_channel_freq
+from .phy.pdsch import PdschConfig, ReservedRbSet
+from .phy.dmrs import DmrsConfig
+from .channels import (AntennaElement, AntennaPanel, AntennaArray, ChannelBase,
+                       CdlChannel, TdlChannel)
+from .rx import mmse_equalize, LsChannelEstimator
+from .sim import (PdschLinkSim, run_bler_sweep, make_trial_keys, PdschHarqSim,
+                  HarqConfig, SnrScheduler)

@@ -1,1 +1,2 @@
 from .equalize import mmse_equalize
+from .chest import LsChannelEstimator, scale_noise_var

@@ -256,6 +256,46 @@ def chest():
     np.savez_compressed(f"{OUT}/chest.npz", **out)
 
 
+def tdl():
+    from neoradium import Carrier, TdlChannel, Waveform
+    from neoradium import random as refrandom
+
+    out = {}
+    cases = {
+        "a": dict(profile="A", delaySpread=100, dopplerShift=40,
+                  txAntennaCount=2, rxAntennaCount=2, mimoCorrelation="High"),
+        "d": dict(profile="D", delaySpread=30, dopplerShift=10,
+                  txAntennaCount=1, rxAntennaCount=1),
+        "x": dict(profile="B100", dopplerShift=400, txAntennaCount=4,
+                  rxAntennaCount=2, mimoCorrelation="Medium",
+                  polarization="CrossPolar", delaySpread=100),
+    }
+    rng = np.random.default_rng(17)
+    for tag, kw in cases.items():
+        refrandom.setSeed(42)
+        carrier = Carrier(numRbs=12, spacing=30)
+        ch = TdlChannel(carrier.curBwp, **kw)
+        h0 = ch.getChannelMatrix()
+        ch.goNext()
+        carrier.goNext()
+        h1 = ch.getChannelMatrix()
+        ch.restart()
+        nt = ch.nrNt[1]
+        slotLen = int(carrier.curBwp.getSlotLen())
+        sig = (rng.normal(size=(nt, slotLen + ch.getMaxDelay()))
+               + 1j * rng.normal(size=(nt, slotLen + ch.getMaxDelay())))
+        y = ch.applyToSignal(Waveform(sig)).waveform
+        out[f"{tag}_theta1"] = ch.sosTheta1N[0]
+        out[f"{tag}_theta2"] = ch.sosTheta2N[0]
+        out[f"{tag}_h0"] = h0
+        out[f"{tag}_h1"] = h1
+        out[f"{tag}_sig"] = sig
+        out[f"{tag}_y"] = y
+        out[f"{tag}_corMat"] = np.asarray(ch.correlationMatrix, np.float64)
+        out[f"{tag}_maxDelay"] = np.array(ch.getMaxDelay())
+    np.savez_compressed(f"{OUT}/tdl.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -266,4 +306,5 @@ if __name__ == "__main__":
     pdsch()
     cdl()
     chest()
+    tdl()
     print("golden fixtures written to", OUT)
