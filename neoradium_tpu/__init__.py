@@ -28,6 +28,8 @@ from .random import PRNG
 from .grid import HostGrid, precode, apply_channel_freq
 from .phy.pdsch import PdschConfig, ReservedRbSet
 from .phy.dmrs import DmrsConfig
+from .phy.csirs import CsiRs, CsiRsSet, CsiRsConfig
+from .coding.polar import PolarConfig, PolarEncoder, PolarDecoder
 from .channels import (AntennaElement, AntennaPanel, AntennaArray, ChannelBase,
                        CdlChannel, TdlChannel)
 from .rx import mmse_equalize, LsChannelEstimator

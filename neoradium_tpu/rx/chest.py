@@ -114,28 +114,54 @@ class LsChannelEstimator:
             raise ValueError("PDSCH config has no DMRS — call setDMRS first")
         car = pdschCfg.carrier
         dmrs = pdschCfg.dmrs
-        self.carrier = car
-        self.meanCdm = meanCdm
-        self.polarInt = polarInt
-        self.lCdm = dmrs.symbols
-        self.kCdm = 4 if dmrs.enhanced else 2
-        cdmSize = self.lCdm * self.kCdm
-        ll, kk = car.symbolsPerSlot, car.numSubcarriers
-        self.shape = (ll, kk)
-
         vals, _ = dmrs.pilot_values(car, slotNo, pdschCfg.portSet,
                                     pdschCfg.mappingType, pdschCfg.symSet,
                                     pdschCfg.slot_map(slotNo))
-        pp = len(pdschCfg.portSet)
-        # organize per port: ls (numLs,), ks (numKs,), pilotVals (numLs, numKs)
         ports = {}
         for p, l, ks, vs in vals:
             ports.setdefault(p, []).append((l, ks, vs))
+        self._setup(car, ports, dmrs.symbols, 4 if dmrs.enhanced else 2,
+                    meanCdm, polarInt, kernel)
+
+    @classmethod
+    def from_csirs(cls, csiRsConfig, slotNo: int = 0, meanCdm: bool = True,
+                   polarInt: bool = False, kernel: str = "linear"):
+        """CSI-RS branch of reference estimateChannelLsEx (grid.py:747-753):
+        the returned channel does NOT include precoding (per-tx-port H)."""
+        self = cls.__new__(cls)
+        car = csiRsConfig.carrier
+        cdmSize = csiRsConfig.csiRsSetList[0].csiRsList[0].cdmSize
+        lCdm, kCdm = {1: (1, 1), 2: (1, 2), 4: (2, 2), 8: (4, 2)}[cdmSize]
+        ports = {}
+        perPortSym = {}
+        for p, l, k, v in csiRsConfig.entries(slotNo):
+            if v is None:
+                continue
+            perPortSym.setdefault((p, l), []).append((k, v))
+        for (p, l), kvs in sorted(perPortSym.items()):
+            kvs.sort()
+            ks = np.asarray([k for k, _ in kvs], np.int32)
+            vs = np.asarray([v for _, v in kvs], np.complex128)
+            ports.setdefault(p, []).append((l, ks, vs))
+        self._setup(car, ports, lCdm, kCdm, meanCdm, polarInt, kernel)
+        return self
+
+    def _setup(self, car, ports, lCdm, kCdm, meanCdm, polarInt, kernel):
+        self.carrier = car
+        self.meanCdm = meanCdm
+        self.polarInt = polarInt
+        self.lCdm = lCdm
+        self.kCdm = kCdm
+        cdmSize = lCdm * kCdm
+        ll, kk = car.symbolsPerSlot, car.numSubcarriers
+        self.shape = (ll, kk)
+        pp = len(ports)
+        # organize per port: ls (numLs,), ks (numKs,), pilotVals (numLs, numKs)
         self.portLs, self.portKs, pilotVals = [], [], []
         for p in range(pp):
-            entries = sorted(ports[p])
+            entries = sorted(ports[p], key=lambda e: e[0])
             ls = np.asarray([e[0] for e in entries], np.int32)
-            ks = entries[0][1]
+            ks = np.asarray(entries[0][1], np.int32)
             self.portLs.append(ls)
             self.portKs.append(ks)
             pilotVals.append(np.stack([e[2] for e in entries]))

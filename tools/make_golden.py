@@ -296,6 +296,88 @@ def tdl():
     np.savez_compressed(f"{OUT}/tdl.npz", **out)
 
 
+def polar():
+    from neoradium.polar import PolarEncoder, PolarDecoder
+
+    rng = np.random.default_rng(23)
+    out = {}
+    cases = {
+        "dci1": (32, 100, "DCI"), "dci2": (30, 600, "DCI"),
+        "uci1": (12, 50, "UCI"), "uci2": (100, 300, "UCI"),
+        "pbch": (24, 864, "PBCH"), "seg": (400, 2000, "UCI"),
+        "short": (45, 120, "UCI"),
+    }
+    for tag, (a, e, dt) in cases.items():
+        enc = PolarEncoder(a, e, dt)
+        txb = rng.integers(0, 2, a).astype(np.int8)
+        cbs = enc.doSegmentation(txb)
+        coded = enc.encode(cbs)
+        rm = enc.rateMatch(coded)
+        out[f"{tag}_cfg"] = np.array([a, e])
+        out[f"{tag}_dt"] = np.frombuffer(dt.encode(), dtype=np.uint8)
+        out[f"{tag}_txb"] = txb
+        out[f"{tag}_cbs"] = cbs
+        out[f"{tag}_coded"] = coded
+        out[f"{tag}_rm"] = rm
+        out[f"{tag}_msgBits"] = np.asarray(enc.msgBits, np.int32)
+        out[f"{tag}_frozenBits"] = np.asarray(enc.frozenBits, np.int32)
+        # noisy decode golden (skip e>=N: reference recoverRate crashes there)
+        if e < enc.polarCodeSize:
+            dec = PolarDecoder(a, e, dt)
+            llrs = (1 - 2 * rm.astype(np.float64)) * 4 \
+                + rng.normal(size=rm.shape) * 1.2
+            decoded, errs = dec.decode(dec.recoverRate(llrs))
+            out[f"{tag}_llrs"] = llrs
+            out[f"{tag}_decoded"] = decoded
+            out[f"{tag}_errs"] = np.array(errs)
+    np.savez_compressed(f"{OUT}/polar.npz", **out)
+
+
+def csirs():
+    from neoradium import Carrier, CsiRsConfig
+
+    rng = np.random.default_rng(13)
+    out = {}
+    cases = {
+        "trs": dict(numPorts=1, density=3),
+        "p2": dict(numPorts=2),
+        "p4": dict(numPorts=4, freqMap="010"),
+        "p8": dict(numPorts=8),
+        "p8c4": dict(numPorts=8, cdmSize=4, freqMap="010100"),
+        "p12": dict(numPorts=12, cdmSize=4),
+        "p24": dict(numPorts=24, cdmSize=8),
+        "p32h": dict(numPorts=32, cdmSize=2, density=0.5),
+        "pwr": dict(numPorts=1, density=1, powerDb=3, scramblingID=41,
+                    symbols=[9]),
+    }
+    for tag, kw in cases.items():
+        for slotNo in (0, 4):
+            carrier = Carrier(numRbs=25, spacing=30)
+            for _ in range(slotNo):
+                carrier.goNext()
+            cfg = CsiRsConfig(bwp=carrier.curBwp, **kw)
+            g = carrier.curBwp.createGrid(cfg.numPorts)
+            cfg.populateGrid(g)
+            out[f"{tag}_{slotNo}_grid"] = g.grid
+            out[f"{tag}_{slotNo}_types"] = g.reTypeIds
+    # CSI-RS channel estimation golden
+    carrier = Carrier(numRbs=24, spacing=30)
+    cfg = CsiRsConfig(bwp=carrier.curBwp, numPorts=8)
+    g = carrier.curBwp.createGrid(8)
+    cfg.populateGrid(g)
+    L, K = g.shape[1], g.shape[2]
+    h = (rng.normal(size=(L, K, 2, 8)) + 1j * rng.normal(size=(L, K, 2, 8))) / np.sqrt(2)
+    rx = g.applyChannel(h)
+    noisy = rx.grid + 0.03 * (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape))
+    rxg = rx.clone()
+    rxg.grid = noisy
+    refH, refNv = rxg.estimateChannelLS(cfg)
+    out["est_noisy"] = noisy
+    out["est_hEst"] = refH
+    out["est_noiseVar"] = np.array(refNv)
+    np.savez_compressed(f"{OUT}/csirs.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -307,4 +389,6 @@ if __name__ == "__main__":
     cdl()
     chest()
     tdl()
+    polar()
+    csirs()
     print("golden fixtures written to", OUT)
