@@ -29,6 +29,7 @@ from .grid import HostGrid, precode, apply_channel_freq
 from .phy.pdsch import PdschConfig, ReservedRbSet
 from .phy.dmrs import DmrsConfig
 from .phy.csirs import CsiRs, CsiRsSet, CsiRsConfig
+from .phy.csifeedback import CsiReport
 from .coding.polar import PolarConfig, PolarEncoder, PolarDecoder
 from .channels import (AntennaElement, AntennaPanel, AntennaArray, ChannelBase,
                        CdlChannel, TdlChannel)

@@ -1,0 +1,123 @@
+"""CSI feedback golden tests vs the reference: Type-1 SP codebook
+enumeration + precoders (bit-exact for N2==1 where the reference works),
+and full rank/PMI search equality on random channels. Self-consistency
+checks for configs where the reference crashes (N2>1, 2-port rank-2,
+Type1MP mode 2) — see phy/csifeedback.py docstring."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.phy.csirs import CsiRsConfig
+from neoradium_tpu.phy.csifeedback import CsiReport, CQI_TABLES
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "csifb.npz")
+
+CB_CASES = {"a": (2, 1, 4, [1, 2]), "b": (4, 1, 8, [1, 2, 3, 4]),
+            "c": (8, 1, 16, [1, 2])}
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+def make_report(n1, n2, ports, **kw):
+    car = CarrierConfig(numRbs=24, spacing=30)
+    csi = CsiRsConfig(carrier=car, numPorts=ports)
+    return CsiReport(csi, n1=n1, n2=n2, **kw)
+
+
+@pytest.mark.parametrize("tag", list(CB_CASES))
+def test_codebooks_bit_exact(tag, golden):
+    n1, n2, ports, layers = CB_CASES[tag]
+    rep = make_report(n1, n2, ports)
+    for nl in layers:
+        idx, cb = rep.getCodebook(nl)
+        refIdx = golden[f"{tag}_{nl}_idx"]
+        refCb = golden[f"{tag}_{nl}_cb"]
+        flat = np.asarray([list(i1) + [i2] for i1, i2 in idx])
+        assert np.array_equal(flat, refIdx), (tag, nl)
+        assert np.abs(np.asarray(cb) - refCb).max() < 1e-12, (tag, nl)
+
+
+def test_rank_pmi_search_matches(golden):
+    rep = make_report(2, 1, 4)
+    hs = golden["search_h"]
+    refRanks = golden["search_rank"]
+    refPmis = bytes(golden["search_pmi"]).decode().split("|")
+    for t in range(hs.shape[0]):
+        rank, pmi, sbSinr = rep.getBestRank(hs[t], 0.1)
+        assert rank == int(refRanks[t]), t
+        assert str(pmi) == refPmis[t], t
+        if t == 0:
+            assert np.abs(np.asarray(sbSinr[0])
+                          - golden["search_0_sinr0"]).max() < 1e-6
+
+
+def test_n2_gt1_codebook_shapes():
+    """N2>1 configs (broken in the reference) produce correctly-shaped
+    near-orthonormal precoders here."""
+    rep = make_report(2, 2, 8)
+    for nl in (1, 2, 3, 4):
+        _, cb = rep.getCodebook(nl)
+        assert cb.shape[1:] == (8, nl), nl
+        wHw = np.einsum("cpi,cpj->cij", cb.conj(), cb)
+        # columns are orthogonal with equal power 1/numLayers
+        off = wHw - np.eye(nl) / nl
+        assert np.abs(off).max() < 1e-9, nl
+
+
+def test_2port_rank2_and_restriction():
+    """2-port rank 2 (reference crashes) + restriction honored (reference
+    ignores the bitmap there)."""
+    rep = make_report(1, 1, 2)
+    idx, cb = rep.getCodebook(2)
+    assert len(idx) == 2 and cb.shape == (2, 2, 2)
+    rep2 = make_report(1, 1, 2, cbSubsetRestriction="101111")
+    idx2, _ = rep2.getCodebook(2)   # rank-2 slice [-6:-4] = "10": i1=1 out
+    assert len(idx2) == 1
+
+
+def test_type1mp_codebook():
+    rep = CsiReport(CsiRsConfig(carrier=CarrierConfig(numRbs=24, spacing=30),
+                                numPorts=8),
+                    codebookType="Type1MP", ng=2, n1=2, n2=1)
+    for nl in (1, 2):
+        idx, cb = rep.getCodebook(nl)
+        assert cb.shape[1:] == (8, nl)
+        wHw = np.einsum("cpi,cpj->cij", cb.conj(), cb)
+        assert np.abs(wHw - np.eye(nl) / nl).max() < 1e-9
+
+
+def test_cqi_monotone():
+    """Higher SINR must never lower the CQI; extremes map to 0 / 15."""
+    rep = make_report(2, 1, 4)
+    cqis = [rep.getCQI([np.full((6, 2), s)])[0]
+            for s in (0.001, 0.5, 2.0, 10.0, 100.0, 1e5)]
+    assert cqis == sorted(cqis)
+    assert cqis[0] == 0 and cqis[-1] == 15
+
+
+def test_full_report():
+    rng = np.random.default_rng(5)
+    rep = make_report(2, 1, 4)
+    h = (rng.normal(size=(14, 288, 4, 4))
+         + 1j * rng.normal(size=(14, 288, 4, 4))) / np.sqrt(2)
+    r = rep.computeReport(h, 0.05)
+    assert 1 <= r["rank"] <= 4
+    assert 0 <= r["cqi"] <= 15
+    assert len(r["subbandCqis"]) >= 1
+
+
+def test_validation():
+    car = CarrierConfig(numRbs=24, spacing=30)
+    csi = CsiRsConfig(carrier=car, numPorts=4)
+    with pytest.raises(ValueError):
+        CsiReport(csi, n1=5, n2=1)
+    with pytest.raises(ValueError):
+        CsiReport(csi, n1=2, n2=1, cqiTable=9)
+    with pytest.raises(ValueError):
+        CsiReport(csi, n1=2, n2=1, reportType="Bogus")

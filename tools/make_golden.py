@@ -378,6 +378,47 @@ def csirs():
     np.savez_compressed(f"{OUT}/csirs.npz", **out)
 
 
+def csifb():
+    from neoradium import Carrier, CsiRsConfig
+    from neoradium.csifeedback import CsiReport
+
+    rng = np.random.default_rng(3)
+    out = {}
+    # codebooks (N2==1 only: reference precoder shapes are broken for N2>1)
+    for tag, (n1, n2, ports, layers) in {
+        "a": (2, 1, 4, [1, 2]), "b": (4, 1, 8, [1, 2, 3, 4]),
+        "c": (8, 1, 16, [1, 2]),
+    }.items():
+        refCar = Carrier(numRbs=24, spacing=30)
+        refCsi = CsiRsConfig(bwp=refCar.curBwp, numPorts=ports)
+        rep = CsiReport(refCsi, n1=n1, n2=n2)
+        for nl in layers:
+            idx, cb = [], []
+            for i1, i2 in rep.type1SpIndexes(nl):
+                idx.append(list(i1) + [i2])
+                cb.append(rep.getType1SpPrecoder(nl, i1, i2))
+            cb = np.asarray(cb).reshape(len(idx), ports, -1)
+            out[f"{tag}_{nl}_idx"] = np.asarray(idx)
+            out[f"{tag}_{nl}_cb"] = cb
+    # end-to-end rank/PMI search
+    refCar = Carrier(numRbs=24, spacing=30)
+    refCsi = CsiRsConfig(bwp=refCar.curBwp, numPorts=4)
+    rep = CsiReport(refCsi, n1=2, n2=1)
+    hs, ranks, pmis = [], [], []
+    for t in range(3):
+        h = (rng.normal(size=(14, 288, 4, 4))
+             + 1j * rng.normal(size=(14, 288, 4, 4))) / np.sqrt(2)
+        rank, pmi, sbSinr = rep.getBestRank(h, 0.1)
+        hs.append(h)
+        ranks.append(rank)
+        pmis.append(str(pmi))
+        out[f"search_{t}_sinr0"] = np.asarray(sbSinr[0])
+    out["search_h"] = np.stack(hs)
+    out["search_rank"] = np.asarray(ranks)
+    out["search_pmi"] = np.frombuffer("|".join(pmis).encode(), np.uint8)
+    np.savez_compressed(f"{OUT}/csifb.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -391,4 +432,5 @@ if __name__ == "__main__":
     tdl()
     polar()
     csirs()
+    csifb()
     print("golden fixtures written to", OUT)
