@@ -27,7 +27,7 @@ from .coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
 from .random import PRNG
 from .grid import HostGrid, precode, apply_channel_freq
 from .phy.pdsch import PdschConfig, ReservedRbSet
-from .phy.dmrs import DmrsConfig
+from .phy.dmrs import DmrsConfig, PtrsConfig
 from .phy.csirs import CsiRs, CsiRsSet, CsiRsConfig
 from .phy.csifeedback import CsiReport
 from .coding.polar import PolarConfig, PolarEncoder, PolarDecoder

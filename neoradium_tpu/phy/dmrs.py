@@ -80,6 +80,133 @@ def _occ_tables(configType: int, portNo: int):
     return wf, wt
 
 
+# TS 38.211 Table 7.4.1.2.2-1: PTRS RE offsets per (configType, port, offset)
+_PTRS_REF_RES = {
+    1: [[0, 2, 6, 8], [2, 4, 8, 10], [1, 3, 7, 9], [3, 5, 9, 11]],
+    2: [[0, 1, 6, 7], [1, 6, 7, 0], [2, 3, 8, 9], [3, 8, 9, 2],
+        [4, 5, 10, 11], [5, 10, 11, 4]],
+}
+
+
+class PtrsConfig:
+    """Phase-tracking reference signals — TS 38.211 §7.4.1.2, TS 38.214
+    §5.1.6.3.
+
+    Host-side planning only (like DMRS): PTRS copies the port's first-DMRS-
+    symbol value at each PTRS subcarrier across the PTRS symbols, with the
+    EPRE boost of TS 38.214 Table 4.1-2.
+
+    Parity: reference ``neoradium/dmrs.py`` PTRS (dmrs.py:554-796) —
+    time/freq density direct or via MCS Tables 5.1.6.3-1/2 (dmrs.py:638-669),
+    RE offset Table 7.4.1.2.2-1 (dmrs.py:118-135), symbol-set countdown from
+    DMRS symbols (dmrs.py:700-709), EPRE boost (dmrs.py:770), first-DMRS-
+    value copy (dmrs.py:774-796).
+    """
+
+    def __init__(self, **kwargs):
+        self.mcsi = kwargs.get("mcsi", None)
+        self.iMCS = kwargs.get("iMCS", None)
+        self.nRBi = kwargs.get("nRBi", None)
+        self._direct_time = kwargs.get("timeDensity", 1)
+        self._direct_freq = kwargs.get("freqDensity", 2)
+        if any(x is not None for x in (self.mcsi, self.iMCS, self.nRBi)):
+            if any(x is None for x in (self.mcsi, self.iMCS, self.nRBi)):
+                raise ValueError("mcsi, iMCS, and nRBi must all be given or all None")
+            if not isinstance(self.mcsi, (list, tuple)) or len(self.mcsi) != 3:
+                raise ValueError("mcsi must be a list of 3 values")
+            if not isinstance(self.nRBi, (list, tuple)) or len(self.nRBi) != 2:
+                raise ValueError("nRBi must be a list of 2 values")
+        else:
+            if self._direct_time not in (1, 2, 4):
+                raise ValueError("timeDensity must be 1, 2, or 4")
+            if self._direct_freq not in (2, 4):
+                raise ValueError("freqDensity must be 2 or 4")
+        self.reOffset = kwargs.get("reOffset", 0)
+        if isinstance(self.reOffset, str):
+            self.reOffset = {"00": 0, "01": 1, "10": 2, "11": 3}[self.reOffset]
+        if self.reOffset not in (0, 1, 2, 3):
+            raise ValueError("reOffset must be 0, 1, 2, or 3")
+        self.portSet = kwargs.get("portSet", None)   # default: pxxch port 0
+        self.epreRatio = kwargs.get("epreRatio", 0)
+        if self.epreRatio not in (0, 1):
+            raise ValueError("epreRatio must be 0 or 1")
+
+    def densities(self, numRBs: int, numPxxchSyms: int):
+        """(timeDensity, freqDensity); (0, 0) disables PTRS
+        (TS 38.214 Tables 5.1.6.3-1/2)."""
+        if self.mcsi is not None:
+            if self.iMCS < self.mcsi[0]:
+                return 0, 0
+            t = 4 if self.iMCS < self.mcsi[1] else (2 if self.iMCS < self.mcsi[2] else 1)
+            if numRBs < self.nRBi[0]:
+                return 0, 0
+            f = 2 if numRBs < self.nRBi[1] else 4
+            return t, f
+        t = self._direct_time
+        if t >= numPxxchSyms:
+            return 0, 0
+        return t, self._direct_freq
+
+    def sym_set(self, pxxchSymSet, dmrsSymSet, timeDensity: int):
+        """PTRS symbol indices (reference countdown loop dmrs.py:700-709)."""
+        out = []
+        skip = 0
+        dm = set(int(x) for x in dmrsSymSet)
+        px = set(int(x) for x in pxxchSymSet)
+        for s in range(int(pxxchSymSet[0]), int(pxxchSymSet[-1]) + 1):
+            if s in dm:
+                skip = timeDensity
+            if skip == 0:
+                if s in px:
+                    out.append(s)
+                skip = timeDensity
+            skip -= 1
+        return out
+
+    def entries(self, pdschCfg, slotNo, slotMap):
+        """[(p, l, k, value)] for one slot.
+
+        PTRS values are beta * r(n): the RAW first-DMRS-symbol sequence value
+        at the subcarrier, WITHOUT the DMRS OCC/beta weighting (reference
+        dmrs.py:538-540 saves rawSymbols, not the weighted grid value).
+        """
+        dmrs = pdschCfg.dmrs
+        ports = (self.portSet if self.portSet is not None
+                 else pdschCfg.portSet[:1])
+        numRBs = len(pdschCfg.prbSet)
+        t, f = self.densities(numRBs, len(pdschCfg.symSet))
+        if t == 0:
+            return []
+        dmrsSyms = dmrs.sym_set(pdschCfg.mappingType, pdschCfg.symSet,
+                                pdschCfg.carrier.cpType)
+        if len(dmrsSyms) == 0:
+            return []
+        symSet = self.sym_set(pdschCfg.symSet, dmrsSyms, t)
+        beta = (toLinear([0, 3, 4.77, 6, 7, 7.78][len(ports)] / 2)
+                if self.epreRatio == 0 else 1.0)
+        l0vals = dmrs.raw_l0_values(pdschCfg.carrier, slotNo, pdschCfg.portSet,
+                                    pdschCfg.mappingType, pdschCfg.symSet,
+                                    slotMap)
+        out = []
+        for p, portNo in enumerate(pdschCfg.portSet):
+            if portNo not in ports:
+                continue
+            refRE = _PTRS_REF_RES[dmrs.configType][portNo][self.reOffset]
+            for l in symSet:
+                rbs = sorted(slotMap[l])
+                nRB = len(rbs)
+                if nRB == 0:
+                    continue
+                if nRB % f == 0:
+                    refRB = pdschCfg.rnti % f
+                else:
+                    refRB = pdschCfg.rnti % (nRB % f)
+                for kc in range(refRE + 12 * refRB, 12 * nRB, 12 * f):
+                    k = rbs[kc // 12] * 12 + kc % 12
+                    out.append((p, l, k, beta * l0vals[p][k]))
+        return out
+
+
 @dataclass(frozen=True)
 class DmrsConfig:
     """DMRS configuration for one PDSCH (frozen, hashable).
@@ -172,6 +299,43 @@ class DmrsConfig:
         for s in noDataShifts:
             used.update((base + int(s)).tolist())
         return [x for x in range(12) if x not in used]
+
+    def raw_l0_values(self, carrier, slotNo: int, portSet, mappingType: str,
+                      pdschSymSet, slotMap) -> dict:
+        """{portIdx: {k: r(n)}} raw sequence values at the FIRST DMRS symbol
+        (used by PTRS — reference dmrs.py:538-540)."""
+        symSet = self.sym_set(mappingType, pdschSymSet, carrier.cpType)
+        if len(symSet) == 0:
+            return {}
+        base = self.dmrs_res()
+        nRE = len(base)
+        bitsPerRB = 2 * nRE
+        offsetBits = carrier.startRb * bitsPerRB
+        totalBits = offsetBits + carrier.numRbs * bitsPerRB
+        cdmGroups = self.cdm_groups(portSet)
+        deltas = self.delta_shifts(portSet)
+        slotInFrame = carrier.slotNoInFrame(slotNo)
+        l = int(symSet[0])
+        out = {}
+        for p, portNo in enumerate(portSet):
+            if self.sameSeq:
+                nCSID, lamBar = self.scID, 0
+            else:
+                nCSID = self.scID if cdmGroups[p] in (0, 2) else 1 - self.scID
+                lamBar = cdmGroups[p]
+            nId = self.nIDs[nCSID] if len(self.nIDs) > nCSID else carrier.cellId
+            cInit = (((1 << 17) * (carrier.symbolsPerSlot * slotInFrame + l + 1)
+                      * (2 * nId + 1) + (1 << 17) * (lamBar // 2)
+                      + 2 * nId + nCSID) & 0x7FFFFFFF)
+            bits = gold_sequence(cInit, totalBits)[offsetBits:].astype(np.float64)
+            raw = (1 - 2 * bits.reshape(-1, 2)) / np.sqrt(2)
+            raw = raw[:, 0] + 1j * raw[:, 1]
+            vals = {}
+            for rb in slotMap[l]:
+                for reIdx, re in enumerate(base + deltas[p]):
+                    vals[12 * rb + re] = raw[rb * nRE + reIdx]
+            out[p] = vals
+        return out
 
     # ------------------------------------------------------------- values
     def pilot_values(self, carrier, slotNo: int, portSet, mappingType: str,

@@ -159,6 +159,7 @@ class PdschConfig:
 
         self.portSet = list(kwargs.get("portSet", range(self.numLayers)))
         self.dmrs: DmrsConfig | None = None
+        self.ptrs = None
         self._plans: dict[int, PdschSlotPlan] = {}
 
     # ------------------------------------------------------------- DMRS
@@ -174,6 +175,14 @@ class PdschConfig:
         # validate first PDSCH symbol vs typeA1stPos (reference dmrs.py:282)
         if (self.symSet[0] not in (0, 1, 2)) and not (self.symSet[0] == 3 and dmrs.typeA1stPos == 3):
             raise ValueError(f"Invalid symbol allocation start={self.symSet[0]} for DMRS")
+        self._plans.clear()
+
+    def setPTRS(self, ptrs=None, **kwargs):
+        """Attach phase-tracking reference signals (needs DMRS set first)."""
+        from .dmrs import PtrsConfig
+        if self.dmrs is None:
+            raise ValueError("setDMRS must be called before setPTRS")
+        self.ptrs = ptrs if ptrs is not None else PtrsConfig(**kwargs)
         self._plans.clear()
 
     # ------------------------------------------------------------- mapping
@@ -348,7 +357,7 @@ class PdschSlotPlan:
                     res = pm[0] if len(pm) == 1 else pm[l]
                     for k in res:
                         hg.set(p, l, k, 0, "RESERVED")
-        # 3) DMRS pilots + NO_DATA
+        # 3) DMRS pilots + NO_DATA (+ PTRS copying first-DMRS-symbol values)
         if cfg.dmrs is not None:
             vals, noData = cfg.dmrs.pilot_values(
                 car, slotNo, cfg.portSet, cfg.mappingType, cfg.symSet, slotMap)
@@ -360,6 +369,12 @@ class PdschSlotPlan:
             for p, l, k in noData:
                 if hg.re_type_at(p, l, k) == "UNASSIGNED":
                     hg.set(p, l, k, 0, "NO_DATA")
+            if cfg.ptrs is not None:
+                for p, l, k, v in cfg.ptrs.entries(cfg, slotNo, slotMap):
+                    if hg.re_type_at(p, l, k) in ("DMRS", "CSIRS_ZP",
+                                                  "CSIRS_NZP", "RESERVED"):
+                        continue
+                    hg.set(p, l, k, v, "PTRS")
 
         # 4) PDSCH data REs, in the reference allocation order (pdsch.py:839-852)
         skip = {RET[n] for n in ("DMRS", "CSIRS_ZP", "CSIRS_NZP", "RESERVED",

@@ -419,6 +419,37 @@ def csifb():
     np.savez_compressed(f"{OUT}/csifb.npz", **out)
 
 
+def ptrs():
+    from neoradium import Carrier, PDSCH
+
+    out = {}
+    cases = {
+        "t1": (dict(numRbs=25, spacing=30),
+               dict(numLayers=1, modulation="16QAM", rnti=17),
+               dict(configType=1), dict(timeDensity=1, freqDensity=2)),
+        "t2": (dict(numRbs=25, spacing=30),
+               dict(numLayers=2, modulation="16QAM", rnti=3),
+               dict(configType=2, additionalPos=1),
+               dict(timeDensity=2, freqDensity=4, reOffset=1)),
+        "t3": (dict(numRbs=51, spacing=30),
+               dict(numLayers=2, modulation="64QAM", rnti=900),
+               dict(configType=1, additionalPos=2),
+               dict(timeDensity=2, freqDensity=2, portSet=[0, 1])),
+        "t4": (dict(numRbs=10, spacing=30),
+               dict(numLayers=1, modulation="QPSK", rnti=5),
+               dict(), dict(timeDensity=4, freqDensity=2, epreRatio=1)),
+    }
+    for tag, (carkw, pkw, dkw, tkw) in cases.items():
+        c = Carrier(**carkw)
+        p = PDSCH(c.curBwp, **pkw)
+        p.setDMRS(**dkw)
+        p.setPTRS(**tkw)
+        g = p.getGrid()
+        out[f"{tag}_grid"] = g.grid
+        out[f"{tag}_types"] = g.reTypeIds
+    np.savez_compressed(f"{OUT}/ptrs.npz", **out)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -433,4 +464,5 @@ if __name__ == "__main__":
     polar()
     csirs()
     csifb()
+    ptrs()
     print("golden fixtures written to", OUT)
