@@ -32,7 +32,8 @@ from .phy.csirs import CsiRs, CsiRsSet, CsiRsConfig
 from .phy.csifeedback import CsiReport
 from .coding.polar import PolarConfig, PolarEncoder, PolarDecoder
 from .channels import (AntennaElement, AntennaPanel, AntennaArray, ChannelBase,
-                       CdlChannel, TdlChannel)
+                       CdlChannel, TdlChannel, TrjPoint, Trajectory,
+                       TrjChannel, DeepMimoData)
 from .rx import mmse_equalize, LsChannelEstimator
 from .sim import (PdschLinkSim, run_bler_sweep, make_trial_keys, PdschHarqSim,
                   HarqConfig, SnrScheduler)

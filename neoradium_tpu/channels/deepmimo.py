@@ -1,0 +1,543 @@
+"""DeepMIMO ray-tracing scenario ingestion and trajectory construction.
+
+All host-side (file IO + NumPy): scenario loading (v1 legacy, v2/v3 .mat,
+v4 .json+.mat formats), grid bookkeeping, random-walk trajectory generation,
+and path-matched interpolation to one trajectory point per slot. The device
+work happens downstream in :class:`~neoradium_tpu.channels.trjchan.TrjChannel`.
+
+Behavioral parity: reference ``neoradium/deepmimo.py`` — loaders
+(loadV1:162-253, loadV3:256-320, loadV4:350-445), grid coordinate helpers
+(700-705), random grid walk with direction constraints
+(getRandomGridTraj:707-803), slot-timed path-matched interpolation
+(interpolateTrajectory:833-945), waypoint trajectories
+(trajectoryFromPoints:1434-1487), channel dataset generator (getChanGen:
+1489-1540). Plotting (drawMap/animateTrajectory/interactiveTrjPoints) is
+provided when matplotlib is available.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..carrier import SAMPLE_RATE
+from .trajectory import TrjPoint, Trajectory
+from .trjchan import TrjChannel
+
+
+class DeepMimoData:
+    """Ray-tracing scenario dataset: a grid of TrjPoints with multipath info."""
+
+    pathToScenarios = "/data/RayTracing/DeepMIMO/Scenarios/"
+
+    def __init__(self, scenario: str | None = None, baseStationId=1, gridId=0,
+                 _points=None, _meta=None):
+        if scenario is None:
+            # internal: synthetic dataset (tests / programmatic scenarios)
+            self._init_from_points(_points, **(_meta or {}))
+            return
+        folder = self.pathToScenarios + scenario + "/"
+        if not os.path.exists(folder):
+            folder = os.path.expanduser("~") + self.pathToScenarios + scenario + "/"
+        if not os.path.exists(folder):
+            raise ValueError(f"Could not find the folder "
+                             f"\"{self.pathToScenarios + scenario}/\"!")
+        self.scenario = scenario
+        self.baseStationId = baseStationId
+        self.gridId = gridId
+        if os.path.exists(folder + "params.mat"):
+            self.loadV3(folder)
+        elif os.path.exists(folder + "params.json"):
+            self.loadV4(folder)
+        elif os.path.exists(folder + f"{scenario}.params.mat"):
+            self.loadV1(folder)
+        else:
+            raise ValueError(f"Unrecognized scenario format in {folder}")
+
+    # ------------------------------------------------------------ construction
+    @classmethod
+    def setScenariosPath(cls, newPath: str):
+        cls.pathToScenarios = newPath if newPath.endswith("/") else newPath + "/"
+
+    @classmethod
+    def fromPoints(cls, points, carrierFreq, bsXyz, gridSize, delta,
+                   scenario="synthetic"):
+        """Build a dataset from an explicit list of TrjPoints (row-major grid
+        of gridSize=(nx, ny) with spacing delta=(dx, dy))."""
+        return cls(None, _points=points,
+                   _meta=dict(carrierFreq=carrierFreq, bsXyz=bsXyz,
+                              gridSize=gridSize, delta=delta,
+                              scenario=scenario))
+
+    def _init_from_points(self, points, carrierFreq, bsXyz, gridSize, delta,
+                          scenario):
+        self.scenario = scenario
+        self.version = 0
+        self.carrierFreq = carrierFreq
+        self.bsXyz = np.asarray(bsXyz, np.float64)
+        self.allTrjPoints = list(points)
+        self.gridSize = np.asarray(gridSize, np.int64)
+        self.delta = np.asarray(delta, np.float64)
+        self.numGridPoints = len(self.allTrjPoints)
+        self.xyMin = self.allTrjPoints[0].xyz[:2]
+        self.xyMax = self.allTrjPoints[-1].xyz[:2]
+        self._stats()
+
+    def _stats(self):
+        n = [p.numPaths for p in self.allTrjPoints]
+        self.maxPaths = max(n) if n else 0
+        self.minPaths = min(n) if n else 0
+        self.avgPaths = float(np.mean(n)) if n else 0.0
+        self.numTotalBlockage = sum(1 for p in self.allTrjPoints
+                                    if p.numPaths == 0)
+        self.numLOS = sum(1 for p in self.allTrjPoints if p.hasLos == 1)
+
+    # ----------------------------------------------------------------- loaders
+    def loadV1(self, folder: str):
+        """Legacy per-file format (reference loadV1:162-253)."""
+        import scipy.io
+        scenario = self.scenario
+        info = scipy.io.loadmat(folder + f"{scenario}.params.mat")
+        self.version = 1
+        self.carrierFreq = info["carrier_freq"][0][0]
+        gridInfo = np.int64(info["user_grids"])
+        gridId = int(self.gridId)
+        if gridId >= len(gridInfo):
+            raise ValueError(f"Invalid gridId {gridId}")
+        usersPerGrid = [(gi[1] - gi[0] + 1) * gi[2] for gi in gridInfo]
+        startRow, endRow, usersPerRow = gridInfo[gridId]
+        self.numGridPoints = int(usersPerGrid[gridId])
+        bs = self.baseStationId
+
+        cir = scipy.io.loadmat(folder + f"{scenario}.{bs}.CIR.mat")["CIR_array_full"][0].tolist()
+        dod = scipy.io.loadmat(folder + f"{scenario}.{bs}.DoD.mat")["DoD_array_full"][0].tolist()
+        doa = scipy.io.loadmat(folder + f"{scenario}.{bs}.DoA.mat")["DoA_array_full"][0].tolist()
+        loc = scipy.io.loadmat(folder + f"{scenario}.Loc.mat")["Loc_array_full"]
+        txLoc = scipy.io.loadmat(folder + f"{scenario}.TX_Loc.mat")["TX_Loc_array_full"]
+        self.bsXyz = txLoc[bs - 1][1:4]
+        los = scipy.io.loadmat(folder + f"{scenario}.{bs}.LoS.mat")["LOS_tag_array_full"][0][1:]
+        pl = scipy.io.loadmat(folder + f"{scenario}.{bs}.PL.mat")["PL_array_full"]
+        distances, pathLosses = pl[:, 0], pl[:, 1]
+
+        self.allTrjPoints = []
+        userIdx, fileIdx = 0, 1
+        for g in range(gridId + 1):
+            for userId in range(1, int(usersPerGrid[g]) + 1):
+                fileIdx += 1
+                numPaths = int(cir[fileIdx])
+                if g != gridId:
+                    fileIdx += 4 * numPaths + 1
+                    userIdx += 1
+                    continue
+                fileIdx += 1
+                paths = []
+                for _ in range(numPaths):
+                    phase, delay, power = cir[fileIdx + 1: fileIdx + 4]
+                    aod, zod, _p1 = dod[fileIdx + 1: fileIdx + 4]
+                    aoa, zoa, _p2 = doa[fileIdx + 1: fileIdx + 4]
+                    paths.append([phase, delay * 1e9, power, aoa, zoa, aod, zod])
+                    fileIdx += 4
+                xyz = loc[userIdx][1:4]
+                self.allTrjPoints.append(TrjPoint(
+                    xyz, int(los[userIdx]), np.asarray(paths).reshape(-1, 7),
+                    distances[userIdx], pathLosses[userIdx]))
+                userIdx += 1
+        self.gridSize = np.asarray([usersPerRow, endRow - startRow + 1])
+        self.xyMin = self.allTrjPoints[0].xyz[:2]
+        self.xyMax = self.allTrjPoints[-1].xyz[:2]
+        self.delta = (self.xyMax - self.xyMin) / (self.gridSize - 1)
+        self._stats()
+
+    def loadV3(self, folder: str):
+        """V2/V3 .mat format (reference loadV3:256-320)."""
+        import scipy.io
+        params = scipy.io.loadmat(folder + "params.mat")
+        self.carrierFreq = params["carrier_freq"][0][0]
+        self.version = params["version"][0][0]
+        gridInfo = params["user_grids"]
+        gridId = int(self.gridId)
+        if gridId >= len(gridInfo):
+            raise ValueError(f"Invalid gridId {gridId}")
+        usersPerGrid = [int((gi[1] - gi[0] + 1) * gi[2]) for gi in gridInfo]
+        startRow, endRow, usersPerRow = np.int64(gridInfo[gridId])
+        self.numGridPoints = usersPerGrid[gridId]
+        ue = scipy.io.loadmat(
+            folder + f"BS{self.baseStationId}_UE_0-{self.numGridPoints}.mat")
+        self.allTrjPoints = []
+        for i in range(self.numGridPoints):
+            ch = ue["channels"][0][i][0][0][0]
+            if ch.size == 0:
+                paths, losFlag = np.empty((0, 7)), -1
+            else:
+                paths = np.asarray(ch.T, np.float64)
+                losFlag = 1 if np.any(paths[:, 7] == 1) else 0
+                paths = paths[:, :7].copy()
+                paths[:, 1] *= 1e9
+            rxLocs = ue["rx_locs"][i]
+            self.allTrjPoints.append(TrjPoint(rxLocs[:3], losFlag, paths,
+                                              rxLocs[3], rxLocs[4]))
+        self.bsXyz = ue["tx_loc"][0]
+        self.gridSize = np.asarray([int(usersPerRow), int(endRow)])
+        self.xyMin = self.allTrjPoints[0].xyz[:2]
+        self.xyMax = self.allTrjPoints[-1].xyz[:2]
+        self.delta = (self.allTrjPoints[int(usersPerRow) + 1].xyz[:2]
+                      - self.allTrjPoints[0].xyz[:2])
+        self._stats()
+
+    def loadV4(self, folder: str):
+        """V4 .json + per-parameter .mat format (reference loadV4:350-445)."""
+        import scipy.io
+        with open(folder + "params.json") as f:
+            meta = json.load(f)
+        self.carrierFreq = meta["rt_params"]["frequency"]
+        self.version = meta["version"]
+        rxGrids, txs = {}, {}
+        for i in range(100):
+            key = f"txrx_set_{i}"
+            if key not in meta["txrx_sets"]:
+                break
+            txrx = meta["txrx_sets"][key]
+            if txrx["is_rx"] and not txrx["is_tx"]:
+                rxGrids[txrx["name"]] = (txrx["id"], txrx["num_points"])
+            if txrx["is_tx"]:
+                fn = folder + f"tx_pos_t{txrx['id']:03d}_tx000_r{txrx['id']:03d}.mat"
+                txs[txrx["name"]] = (txrx["id"],
+                                     scipy.io.loadmat(fn)["tx_pos"][0])
+
+        def find_id(given, default, dic):
+            if isinstance(given, str) and given in dic:
+                return given
+            keys = sorted(dic.keys())
+            if len(dic) == 1:
+                return keys[0]
+            try:
+                num2key = {int("".join(c for c in k if c.isdigit())): k
+                           for k in dic}
+                if not isinstance(given, str) and given in num2key:
+                    return num2key[given]
+            except ValueError:
+                pass
+            if given == default:
+                return keys[0]
+            raise ValueError(f"Invalid id {given!r}; options: {keys}")
+
+        self.gridId = find_id(self.gridId, 0, rxGrids)
+        self.baseStationId = find_id(self.baseStationId, 1, txs)
+        rxId, self.numGridPoints = rxGrids[self.gridId]
+        txId, self.bsXyz = txs[self.baseStationId]
+        names = ["phase", "delay", "power", "aoa_az", "aoa_el", "aod_az",
+                 "aod_el", "inter", "rx_pos"]
+        vals = {}
+        for n in names:
+            fn = folder + f"{n}_t{txId:03d}_tx000_r{rxId:03d}.mat"
+            if not os.path.exists(fn):
+                raise ValueError(f"File {fn} does not exist!")
+            vals[n] = scipy.io.loadmat(fn)[n]
+        self.allTrjPoints = []
+        dx = dy = nx = None
+        prev = None
+        for i in range(self.numGridPoints):
+            numPaths = int((~np.isnan(vals["phase"][i])).sum())
+            if numPaths > 0:
+                paths = np.stack([vals[n][i][:numPaths] for n in names[:-1]],
+                                 axis=1).astype(np.float64)
+                paths[:, 1] *= 1e9
+            else:
+                paths = np.empty((0, 8))
+            xyz = vals["rx_pos"][i]
+            losCount = int((vals["inter"][i] == 0).sum())
+            losFlag = -1 if numPaths == 0 else (1 if losCount else 0)
+            self.allTrjPoints.append(TrjPoint(
+                xyz, losFlag, paths,
+                np.sqrt(np.square(self.bsXyz - xyz).sum())))
+            if prev is not None:
+                d = xyz - prev
+                if d[1] == 0:
+                    dx = d[0] if dx is None else dx
+                elif dy is None:
+                    nx, dy = i, d[1]
+            prev = xyz
+        self.gridSize = np.asarray([nx, self.numGridPoints // nx])
+        self.xyMin = self.allTrjPoints[0].xyz[:2]
+        self.xyMax = self.allTrjPoints[-1].xyz[:2]
+        self.delta = np.asarray([dx, dy])
+        self._stats()
+
+    # -------------------------------------------------------------- grid math
+    def gridXyToIndex(self, gridXy):
+        gridXy = np.asarray(gridXy)
+        return gridXy[..., 0] + gridXy[..., 1] * self.gridSize[0]
+
+    def xyToGridXy(self, xy):
+        return np.int64((np.asarray(xy) - self.allTrjPoints[0].xyz[:2])
+                        / self.delta + 0.5)
+
+    def gridXyToXy(self, gridXy):
+        idx = np.asarray([self.gridXyToIndex(gridXy)]).reshape(-1)
+        return np.asarray([self.allTrjPoints[i].xyz[:2] for i in idx]).squeeze()
+
+    # --------------------------------------------------------- random walks
+    def getRandomGridTraj(self, xyBounds, segLen, trajLen, xyStart=None,
+                          prob=None, trajDir="All", rng=None):
+        """Random walk on the grid (reference getRandomGridTraj:707-803)."""
+        if rng is None:
+            rng = np.random.default_rng()
+        minXy = np.maximum(self.xyMin, xyBounds[0])
+        maxXy = np.minimum(self.xyMax, xyBounds[1])
+        bounds = np.asarray([self.xyToGridXy(minXy), self.xyToGridXy(maxXy)])
+        if isinstance(trajLen, (int, np.integer)):
+            trajDist = np.inf
+        else:
+            trajDist, trajLen = trajLen, 100000000
+        if xyStart is None:
+            mid = bounds.mean(0).astype(np.int64)
+            start = {"+X": np.asarray([bounds[0, 0], mid[1]]),
+                     "-X": np.asarray([bounds[1, 0], mid[1]]),
+                     "+Y": np.asarray([mid[0], bounds[0, 1]]),
+                     "-Y": np.asarray([mid[0], bounds[1, 1]]),
+                     "All": np.asarray([mid[0], bounds[0, 1]])}[trajDir]
+        else:
+            start = np.minimum(np.maximum(bounds[0] + 2 * segLen,
+                                          self.xyToGridXy(xyStart)),
+                               bounds[1] - 2 * segLen)
+        deltas = {0: (1, 0), 45: (1, 1), 90: (0, 1), 135: (-1, 1),
+                  180: (-1, 0), 225: (-1, -1), 270: (0, -1), 315: (1, -1)}
+        traj = [np.int64(start)]
+        if trajDir == "+X":
+            trajLen, curDir = min(trajLen, bounds[1, 0] - start[0] - segLen), 0
+        elif trajDir == "-X":
+            trajLen, curDir = min(trajLen, start[0] - bounds[0, 0] - segLen), 180
+        elif trajDir == "+Y":
+            trajLen, curDir = min(trajLen, bounds[1, 1] - start[1] - segLen), 90
+        elif trajDir == "-Y":
+            trajLen, curDir = min(trajLen, start[1] - bounds[0, 1] - segLen), 270
+        else:
+            curDir = 0
+        if prob is not None and (len(prob) != 3 or abs(sum(prob) - 1) > 1e-9):
+            raise ValueError("'prob' must be 3 probabilities summing to 1")
+        allowedTurns = {"+X": {45: "NoLeft", 315: "NoRight", 0: "All"},
+                        "-X": {225: "NoLeft", 135: "NoRight", 180: "All"},
+                        "+Y": {135: "NoLeft", 45: "NoRight", 90: "All"},
+                        "-Y": {315: "NoLeft", 225: "NoRight", 270: "All"}}
+
+        def bad_move(newXY, newDir):
+            corner = {0: (-1, -1), 45: (2, 3), 90: (-1, -1), 135: (0, 3),
+                      180: (-1, -1), 225: (0, 1), 270: (-1, -1), 315: (1, 2)}
+            border = {0: 2, 45: -1, 90: 3, 135: -1, 180: 0, 225: -1,
+                      270: 1, 315: -1}
+            closeness = ((bounds - newXY) * [[-1], [1]]).flatten()
+            if np.any(closeness < 0):
+                return True
+            if corner[newDir] == tuple(np.where(closeness < 2 * segLen)[0]):
+                return True
+            if border[newDir] in tuple(np.where(closeness < segLen)[0]):
+                return True
+            return False
+
+        dist = 0.0
+        while len(traj) < trajLen:
+            if trajDir == "All":
+                action = rng.choice([-1, 0, 1], p=prob)
+            else:
+                turns = allowedTurns[trajDir][curDir]
+                if turns == "NoLeft":
+                    p2 = None if prob is None else (
+                        prob[0] / (prob[0] + prob[1]), prob[1] / (prob[0] + prob[1]))
+                    action = rng.choice([-1, 0], p=p2)
+                elif turns == "NoRight":
+                    p2 = None if prob is None else (
+                        prob[1] / (prob[1] + prob[2]), prob[2] / (prob[1] + prob[2]))
+                    action = rng.choice([0, 1], p=p2)
+                else:
+                    action = rng.choice([-1, 0, 1], p=prob)
+            newDir = (curDir + int(action) * 45) % 360
+            newXY = traj[-1] + segLen * np.int64(deltas[newDir])
+            if bad_move(newXY, newDir):
+                continue
+            traj += [traj[-1] + (s + 1) * np.int64(deltas[newDir])
+                     for s in range(segLen)]
+            curDir = newDir
+            dist += self.delta[0] * segLen * np.sqrt(
+                np.square(deltas[newDir]).sum())
+            if dist > trajDist:
+                break
+        return np.asarray(traj[:trajLen])
+
+    # ----------------------------------------------------------- interpolation
+    def interpolateTrajectory(self, idxTrajectory, speedMps, carrier):
+        """One TrjPoint per slot via path-matched linear interpolation
+        (reference interpolateTrajectory:833-945)."""
+        slotLens = [carrier.slotLen(i) for i in range(carrier.slotsPerSubFrame)]
+        slotStarts = np.concatenate([[0], np.cumsum(slotLens)]).astype(np.int64)
+        subFrameLen = int(carrier.sampleRate // 1000)
+        xyzs = np.asarray([self.allTrjPoints[i].xyz for i in idxTrajectory])
+        segLens = np.sqrt(np.square(xyzs[1:] - xyzs[:-1]).sum(-1))
+        intPoints = []
+        segStart = 0
+        for i in range(1, len(idxTrajectory)):
+            p0 = self.allTrjPoints[idxTrajectory[i - 1]]
+            p1 = self.allTrjPoints[idxTrajectory[i]]
+            numSubFrame = segLens[i - 1] * carrier.sampleRate / (subFrameLen * speedMps)
+            frac = (numSubFrame % 1) * subFrameLen
+            slotIdx = int(np.abs(slotStarts - frac).argmin())
+            numSubFrame = int(numSubFrame)
+            numSegSamples = numSubFrame * subFrameLen + slotStarts[slotIdx]
+            numSteps = numSubFrame * carrier.slotsPerSubFrame + slotIdx
+            reps = numSubFrame + (2 if slotIdx == carrier.slotsPerSubFrame else 1)
+            stepStarts = (slotStarts[None, :-1]
+                          + np.arange(reps, dtype=np.int64)[:, None]
+                          * subFrameLen).flatten()[: numSteps + 1]
+            if segStart > 0:
+                stepStarts = stepStarts[1:]
+            segSpeed = (p1.xyz - p0.xyz) * carrier.sampleRate / numSegSamples
+
+            if p0.hasLos == -1 or p1.hasLos == -1:
+                c = 0
+            else:
+                maxDiff = 2 * np.linalg.norm(self.delta) * 1e9 / 299792458
+                curToNext = p0.matchPathInfo(p1, maxDiff)
+                commonCur = np.where(curToNext > -1)[0]
+                commonNext = curToNext[curToNext != -1]
+                c = len(commonCur)
+            if c == 0:
+                endInfo = np.stack([p0.xyz, p1.xyz])
+                los = -1
+            else:
+                if p0.hasLos == 0:
+                    los = 0
+                elif p0.numPaths - c == 0 or p1.hasLos == 1:
+                    los = 1
+                else:
+                    los = 0
+                endPaths = np.stack([p0.pathInfo[commonCur],
+                                     p1.pathInfo[commonNext]])
+                endPaths[:, :, (0, 3, 5)] = np.unwrap(
+                    endPaths[:, :, (0, 3, 5)], 0.5, 0, period=360)
+                endInfo = np.concatenate(
+                    [endPaths.reshape(2, -1), np.stack([p0.xyz, p1.xyz])],
+                    axis=1)
+            intInfo = endInfo[0] + ((endInfo[1] - endInfo[0])
+                                    * stepStarts.reshape(-1, 1) / numSegSamples)
+            intXyz = intInfo[:, -3:]
+            if c > 0:
+                intPaths = intInfo[:, :-3].reshape(-1, c, 8)
+                a = intPaths[:, :, (0, 3, 5)]
+                intPaths[:, :, (0, 3, 5)] += (a < -180) * 360 - (a > 180) * 360
+                intPoints += [TrjPoint(
+                    xyz, los, pi,
+                    bsDist=np.sqrt(np.square(xyz - self.bsXyz).sum()),
+                    speed=segSpeed, sampleNo=int(s) + segStart)
+                    for xyz, pi, s in zip(intXyz, intPaths, stepStarts)]
+            else:
+                intPoints += [TrjPoint(
+                    xyz, los, None,
+                    bsDist=np.sqrt(np.square(xyz - self.bsXyz).sum()),
+                    speed=segSpeed, sampleNo=int(s) + segStart)
+                    for xyz, s in zip(intXyz, stepStarts)]
+            segStart += int(numSegSamples)
+        return Trajectory(intPoints, self.carrierFreq)
+
+    def getRandomTrajectory(self, xyBounds, segLen, carrier, trajLen=None,
+                            trajTime=None, trajDist=None, xyStart=None,
+                            prob=None, trajDir="All", speedMps=None, rng=None):
+        """Random trajectory with per-slot interpolation (reference :945)."""
+        if speedMps is None:
+            speedMps = 14.0 if "indoor" not in self.scenario.lower() else 1.2
+        if trajTime is not None:
+            trajLen = trajTime * speedMps
+        elif trajDist is not None:
+            trajLen = float(trajDist)
+        elif trajLen is None:
+            raise ValueError("One of trajTime, trajDist, or trajLen is needed")
+        gridTraj = self.getRandomGridTraj(xyBounds, segLen, trajLen, xyStart,
+                                          prob, trajDir, rng)
+        idx = self.gridXyToIndex(gridTraj)
+        return self.interpolateTrajectory(idx, speedMps, carrier)
+
+    def trajectoryFromPoints(self, points, carrier, speedMps=None):
+        """Waypoint-line trajectories (reference trajectoryFromPoints:1434)."""
+        if speedMps is None:
+            speedMps = 14.0 if "indoor" not in self.scenario.lower() else 1.2
+        traj = []
+        for i in range(len(points) - 1):
+            p1, p2 = self.xyToGridXy(np.asarray(points[i:i + 2]))
+            dx, dy = p2 - p1
+            xInc = int(np.sign(dx)) if dx else 1
+            yInc = int(np.sign(dy)) if dy else 1
+
+            def line(x=None, y=None):
+                if x is not None:
+                    return (p2[1] - p1[1]) * (x - p1[0]) / (p2[0] - p1[0]) + p1[1]
+                return (p2[0] - p1[0]) * (y - p1[1]) / (p2[1] - p1[1]) + p1[0]
+
+            if abs(dx) > abs(dy):
+                traj += [[x, round(line(x=x))] for x in range(p1[0], p2[0], xInc)]
+            else:
+                traj += [[round(line(y=y)), y] for y in range(p1[1], p2[1], yInc)]
+        traj.append(self.xyToGridXy(np.asarray(points[-1])).tolist())
+        idx = self.gridXyToIndex(np.asarray(traj, np.int64))
+        return self.interpolateTrajectory(idx, speedMps, carrier)
+
+    # -------------------------------------------------------------- datasets
+    def getChanGen(self, numChannels, carrier, xyBounds=None, segLen=2,
+                   trajLen=50, speedMps=None, seed=0, **chanKw):
+        """Generator of (L, K, Nr, Nt) channel matrices from random
+        trajectories (reference getChanGen:1489-1540)."""
+        rng = np.random.default_rng(seed)
+        if xyBounds is None:
+            xyBounds = np.asarray([self.xyMin, self.xyMax])
+        count = 0
+        while count < numChannels:
+            traj = self.getRandomTrajectory(xyBounds, segLen, carrier,
+                                            trajLen=trajLen, speedMps=speedMps,
+                                            rng=rng)
+            chan = TrjChannel(carrier, traj, **chanKw)
+            for slot in range(traj.numPoints):
+                if count >= numChannels:
+                    return
+                yield np.asarray(chan.channel_matrix(slotNo=slot))
+                count += 1
+
+    # ---------------------------------------------------------------- access
+    def __getitem__(self, idx):
+        return self.allTrjPoints[idx]
+
+    def __iter__(self):
+        return iter(self.allTrjPoints)
+
+    def __len__(self):
+        return len(self.allTrjPoints)
+
+    # ---------------------------------------------------------------- drawing
+    def drawMap(self, mapType="LOS-NLOS", overlay=None, figSize=6, ax=None):
+        """Scenario map (LOS-NLOS / 1stPathDelays / 1stPathPowers) with an
+        optional trajectory overlay; requires matplotlib."""
+        import matplotlib.pyplot as plt
+        nx, ny = self.gridSize
+        vals = np.zeros(len(self.allTrjPoints))
+        if mapType == "LOS-NLOS":
+            vals = np.asarray([p.hasLos for p in self.allTrjPoints], float)
+        elif mapType == "1stPathDelays":
+            vals = np.asarray([p.delays[0] if p.numPaths else np.nan
+                               for p in self.allTrjPoints])
+        elif mapType == "1stPathPowers":
+            vals = np.asarray([p.powers[0] if p.numPaths else np.nan
+                               for p in self.allTrjPoints])
+        else:
+            raise ValueError(f"Unsupported mapType {mapType!r}")
+        img = vals.reshape(ny, nx)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(figSize, figSize * ny / max(nx, 1)))
+        extent = [self.xyMin[0], self.xyMax[0], self.xyMin[1], self.xyMax[1]]
+        im = ax.imshow(img, origin="lower", extent=extent, aspect="auto")
+        ax.plot(*self.bsXyz[:2], "r^", markersize=10)
+        if overlay is not None:
+            if isinstance(overlay, Trajectory):
+                xy = np.asarray([p.xyz[:2] for p in overlay])
+            else:
+                xy = np.asarray([self.allTrjPoints[i].xyz[:2]
+                                 for i in np.asarray(overlay).reshape(-1)])
+            ax.plot(xy[:, 0], xy[:, 1], "k.-", markersize=2)
+        plt.colorbar(im, ax=ax)
+        return ax

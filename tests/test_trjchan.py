@@ -1,0 +1,163 @@
+"""Trajectory channel + DeepMIMO tests.
+
+TrjChannel golden parity vs the reference was established with synthetic
+trajectories (tools/dev/cmp_trjchan.py at 1e-9, tools/dev/cmp_deepmimo.py:
+interpolation and random walks bit-identical); these tests lock in the
+behavior with self-contained fixtures (no reference import).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.channels.antenna import AntennaPanel
+from neoradium_tpu.channels.trajectory import TrjPoint, Trajectory
+from neoradium_tpu.channels.trjchan import TrjChannel
+from neoradium_tpu.channels.deepmimo import DeepMimoData
+
+
+def synth_points(numPoints, numPaths, hasLos, slotSamples, seed=9):
+    rng = np.random.default_rng(seed)
+    pts = []
+    for i in range(numPoints):
+        pi = np.zeros((numPaths, 8))
+        pi[:, 0] = rng.uniform(-180, 180, numPaths)
+        pi[:, 1] = np.sort(rng.uniform(0, 800, numPaths))
+        pi[:, 2] = -rng.uniform(0, 25, numPaths)
+        pi[:, 3] = rng.uniform(-180, 180, numPaths)
+        pi[:, 4] = rng.uniform(30, 150, numPaths)
+        pi[:, 5] = rng.uniform(-180, 180, numPaths)
+        pi[:, 6] = rng.uniform(30, 150, numPaths)
+        pi[:, 7] = -1
+        if hasLos:
+            pi[0, 7] = 0
+        pts.append(TrjPoint([i * 0.5, 0, 1.5], 1 if hasLos else 0, pi, 10.0,
+                            0, [3.0, 1.0, 0.0], i * slotSamples))
+    return pts
+
+
+@pytest.fixture(scope="module")
+def channel():
+    car = CarrierConfig(numRbs=6, spacing=30)
+    pts = synth_points(6, 5, True, car.slotLen(0))
+    traj = Trajectory(pts, 3.5e9)
+    ch = TrjChannel(car, traj,
+                    txAntenna=AntennaPanel((2, 1), polarization="x"),
+                    rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    return car, traj, ch
+
+
+def test_channel_matrix_shape_and_continuity(channel):
+    car, traj, ch = channel
+    h0 = np.asarray(ch.channel_matrix(slotNo=0))
+    h1 = np.asarray(ch.channel_matrix(slotNo=1))
+    L, K = car.symbolsPerSlot, car.numSubcarriers
+    assert h0.shape == (L, K, 2, 4)
+    assert not np.allclose(h0, h1)            # trajectory moves
+    # Doppler continuity: correlation between consecutive slots is high
+    c = np.abs(np.vdot(h0, h1)) / (np.linalg.norm(h0) * np.linalg.norm(h1))
+    assert c > 0.5
+
+
+def test_td_fd_equivalence(channel):
+    """Time-domain application matches frequency-domain on a full slot."""
+    from neoradium_tpu.ofdm import OfdmContext
+    car, traj, ch = channel
+    rng = np.random.default_rng(1)
+    L, K = car.symbolsPerSlot, car.numSubcarriers
+    grid = (rng.normal(size=(4, L, K)) + 1j * rng.normal(size=(4, L, K)))
+    ofdm = OfdmContext(car)
+    wf = ofdm.modulate(jnp.asarray(grid), windowing=False)
+    wf = jnp.pad(wf, [(0, 0), (0, ch.getMaxDelay(0))])
+    rx = ch.apply_to_signal(wf, slotNo=0)
+    off = ch.timing_offset(slotNo=0)
+    synced = rx[:, off:off + ofdm.numSamples]
+    rxGrid = np.asarray(ofdm.demodulate(synced))
+    H = np.asarray(ch.channel_matrix(slotNo=0))
+    fd = np.einsum("lkrt,tlk->rlk", H, grid)
+    nmse = np.sum(np.abs(rxGrid - fd) ** 2) / np.sum(np.abs(fd) ** 2)
+    assert nmse < 1e-3, nmse                  # reference invariant (<1e-3)
+
+
+def test_end_of_trajectory_raises(channel):
+    car, traj, ch = channel
+    with pytest.raises(ValueError):
+        ch.channel_matrix(slotNo=traj.numPoints)
+
+
+def test_blockage_zero_channel():
+    car = CarrierConfig(numRbs=4, spacing=30)
+    pts = [TrjPoint([0, 0, 1.5], -1, None, 10.0, 0, [1, 0, 0], 0)]
+    ch = TrjChannel(car, Trajectory(pts, 3.5e9))
+    h = np.asarray(ch.channel_matrix(slotNo=0))
+    assert np.abs(h).max() == 0
+
+
+def test_path_matching():
+    slotSamples = 15360
+    pts = synth_points(2, 5, False, slotSamples)
+    curToNext = pts[0].matchPathInfo(pts[1], maxDiff=1e9)
+    assert sorted(curToNext.tolist()) == [0, 1, 2, 3, 4]
+    # identical points match identity
+    same = pts[0].matchPathInfo(pts[0], maxDiff=1)
+    assert np.array_equal(same, np.arange(5))
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    nx, ny = 24, 16
+    delta = np.array([0.5, 0.5])
+    bs = np.array([3.0, 3.0, 12.0])
+    pts = []
+    for iy in range(ny):
+        for ix in range(nx):
+            xyz = np.array([ix * delta[0], iy * delta[1], 1.5])
+            n = 3
+            t = np.arange(n)
+            pi = np.zeros((n, 8))
+            pi[:, 0] = 10 * np.sin(0.1 * ix + t)
+            pi[:, 1] = 100 + 5 * t + 0.5 * ix
+            pi[:, 2] = -5 - 2 * t
+            pi[:, 3] = 30 + 3 * t + 0.2 * ix
+            pi[:, 4] = 80 + t
+            pi[:, 5] = -40 + 5 * t
+            pi[:, 6] = 95 + t
+            pi[:, 7] = -1
+            pi[0, 7] = 0
+            pts.append(TrjPoint(xyz, 1, pi,
+                                np.sqrt(np.square(bs - xyz).sum())))
+    return DeepMimoData.fromPoints(pts, 3.5e9, bs, (nx, ny), delta)
+
+
+def test_random_trajectory_per_slot(scenario):
+    car = CarrierConfig(numRbs=6, spacing=30)
+    rng = np.random.default_rng(0)
+    traj = scenario.getRandomTrajectory(
+        np.array([[0.0, 0.0], [11.5, 7.5]]), 2, car, trajLen=12,
+        speedMps=5.0, rng=rng)
+    assert traj.numPoints > 12                # interpolated to per-slot points
+    # per-slot timing: consecutive sampleNos differ by one slot length
+    deltas = np.diff([p.sampleNo for p in traj.points])
+    slotLens = {car.slotLen(i) for i in range(car.slotsPerSubFrame)}
+    assert set(deltas.tolist()) <= slotLens
+    # drive the channel a few slots
+    ch = TrjChannel(car, traj)
+    hs = [np.asarray(ch.channel_matrix(slotNo=s)) for s in range(3)]
+    assert not np.isnan(np.stack(hs)).any()
+
+
+def test_chan_gen(scenario):
+    car = CarrierConfig(numRbs=4, spacing=30)
+    gen = scenario.getChanGen(5, car, segLen=2, trajLen=8, speedMps=5.0, seed=1)
+    hs = list(gen)
+    assert len(hs) == 5
+    assert hs[0].shape == (car.symbolsPerSlot, car.numSubcarriers, 1, 1)
+
+
+def test_waypoint_trajectory(scenario):
+    car = CarrierConfig(numRbs=4, spacing=30)
+    traj = scenario.trajectoryFromPoints(
+        [[0.5, 0.5], [5.0, 0.5], [5.0, 5.0]], car, speedMps=5.0)
+    assert traj.numPoints > 10
+    assert traj.totalDist > 8.0
