@@ -24,7 +24,8 @@ from .sequences import gold_sequence
 from . import crc
 from .ofdm import OfdmContext
 from .coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
-from .random import PRNG
+from .random import PRNG, RanGen, random
+from .waveform import Waveform, estimate_timing_offset
 from .grid import HostGrid, precode, apply_channel_freq
 from .phy.pdsch import PdschConfig, ReservedRbSet
 from .phy.dmrs import DmrsConfig, PtrsConfig

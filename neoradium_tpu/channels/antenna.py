@@ -215,6 +215,180 @@ class AntennaArray:
         return np.asarray(pos, np.float64)
 
 
+# ======================================================= pattern analysis
+def _angles_to_numpy(angle, lo, hi):
+    """Reference antenna.py:68-76 angle-argument convention."""
+    if angle is None:
+        angle = np.arange(lo, hi)
+    if isinstance(angle, np.ndarray):
+        return angle.astype(np.float64)
+    if isinstance(angle, list):
+        return np.float64(angle)
+    if isinstance(angle, tuple):
+        if angle[0] == angle[1]:
+            angle = (angle[0], angle[0] + 1)
+        return np.float64(range(*angle))
+    return np.float64([angle])
+
+
+class _PatternMixin:
+    """Steering vectors / field patterns / directivity / radiation plots for
+    panels and arrays (reference antenna.py:106-735)."""
+
+    def getSteeringVector(self, theta, phi):
+        """(nEl, nTheta, nPhi) array response exp(2j*pi*pos.rHat);
+        angles in degrees (reference getSteeringVector:106-137)."""
+        th = np.asarray(theta, np.float64).reshape(-1, 1) * np.pi / 180
+        ph = np.asarray(phi, np.float64).reshape(1, -1) * np.pi / 180
+        rHat = np.float64([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                           np.cos(th) * np.ones_like(ph)])
+        return np.exp(2j * np.pi * np.tensordot(self.positions(), rHat, axes=1))
+
+    def _element_polarized(self, theta, phi):
+        """Per-element V/H fields at (nTheta, nPhi) grid (polarization-major)."""
+        th = np.asarray(theta, np.float64).reshape(-1, 1)
+        ph = np.asarray(phi, np.float64).reshape(1, -1)
+        els = self.elements()
+        nEl = len(els)
+        polAngles = []
+        for e in els:
+            if e.polAngle not in polAngles:
+                polAngles.append(e.polAngle)
+        fields = {pa: AntennaElement(polModel=els[0].polModel,
+                                     beamWidth=tuple(els[0].beamWidth),
+                                     verticalSidelobeAttenuation=els[0].verticalSidelobeAttenuation,
+                                     maxAttenuation=els[0].maxAttenuation,
+                                     mainMaxGain=els[0].mainMaxGain,
+                                     polAngle=pa).polarized_fields(th, ph)
+                  for pa in polAngles}
+        fv = np.stack([np.broadcast_to(fields[e.polAngle][0], th.shape[:1] + ph.shape[1:])
+                       for e in els])
+        fh = np.stack([np.broadcast_to(fields[e.polAngle][1], th.shape[:1] + ph.shape[1:])
+                       for e in els])
+        return fv, fh
+
+    def getPolarizedFields(self, theta=None, phi=None, weights=None):
+        """Array-combined (V, H) fields, optionally beamformed
+        (reference antenna.py:191-268)."""
+        theta = _angles_to_numpy(theta, 0, 180)
+        phi = _angles_to_numpy(phi, -180, 180)
+        sv = self.getSteeringVector(theta, phi)
+        fv, fh = self._element_polarized(theta, phi)
+        if weights is not None:
+            sv = sv * np.asarray(weights).reshape(-1, 1, 1)
+        return (np.squeeze((sv * fv).sum(0)), np.squeeze((sv * fh).sum(0)))
+
+    def getField(self, theta=None, phi=None, weights=None):
+        """|F| = hypot(|Fv|, |Fh|) (reference getField:270-314)."""
+        v, h = self.getPolarizedFields(theta, phi, weights)
+        return np.hypot(np.abs(v), np.abs(h))
+
+    def getPowerPattern(self, theta=None, phi=None, weights=None):
+        return np.square(self.getField(theta, phi, weights))
+
+    def getFieldPattern(self, theta=None, phi=None):
+        """(nEl, nTheta, nPhi) per-element fields (no polarization) used by
+        the directivity integral (reference antenna.py:140-189)."""
+        theta = _angles_to_numpy(theta, 0, 180)
+        phi = _angles_to_numpy(phi, -180, 180)
+        e0 = self.elements()[0]
+        th = theta.reshape(-1, 1)
+        ph = phi.reshape(1, -1)
+        f = 10.0 ** (e0.power_pattern_db(th, ph) / 20.0)
+        f = np.broadcast_to(f, (len(theta), len(phi)))
+        return self.getSteeringVector(theta, phi) * f[None]
+
+    def getMaxDim(self):
+        pos = self.positions()
+        return float((pos.max(0) - pos.min(0)).max())
+
+    def getIntegralAngleStep(self):
+        maxSpan = self.getMaxDim()
+        if maxSpan == 0:
+            return 1
+        beamWidth = 70 / maxSpan
+        for step in (1, 0.5, 0.2):
+            if beamWidth >= step:
+                return step
+        return 0.1
+
+    def getDirectivity(self, theta=None, phi=None, weights=None):
+        """Directivity in dBi via numeric integration over the sphere
+        (reference getDirectivity:431-538)."""
+        from ..utils import toDb
+        theta = _angles_to_numpy(theta, 0, 180)
+        phi = _angles_to_numpy(phi, -180, 180)
+        elementsField = self.getFieldPattern(theta, phi)
+        step = self.getIntegralAngleStep()
+        allTheta = np.arange(0, 180 + step, step)
+        allPhi = np.arange(-180, 180 + step, step)
+        if (allTheta.shape != theta.shape or allPhi.shape != phi.shape
+                or np.any(allTheta != theta) or np.any(allPhi != phi)):
+            fieldAll = self.getFieldPattern(allTheta, allPhi)
+        else:
+            fieldAll = elementsField
+        n = fieldAll.shape[0]
+        svCov = ((fieldAll * np.sin(allTheta * np.pi / 180)[None, :, None])
+                 .reshape(n, -1) @ np.conj(fieldAll.reshape(n, -1)).T)
+        dA = (step * np.pi / 180) ** 2
+        if weights is not None:
+            # NOTE: parity with reference antenna.py:524-526, which uses w.T
+            # (no conjugate) in the quadratic form and takes the real part.
+            w = np.asarray(weights).reshape(1, n)
+            integral = float((w @ svCov @ w.T)[0, 0].real) * dA
+            elementsField = elementsField * np.asarray(weights).reshape(-1, 1, 1)
+        else:
+            integral = float(svCov.real.sum()) * dA
+        power = np.squeeze(np.square(np.abs(elementsField.sum(0))))
+        return toDb(np.maximum(1e-12, 4 * np.pi * power / integral))
+
+    def drawRadiation(self, theta=None, phi=None, radiationType="Directivity",
+                      normalize=True, title=None, viewAngles=(45, 30), ax=None):
+        """2-D polar cut (one of theta/phi scalar) or 3-D surface plot
+        (reference drawRadiation:541-735); requires matplotlib."""
+        import matplotlib.pyplot as plt
+        thetaArr = _angles_to_numpy(theta, 0, 180)
+        phiArr = _angles_to_numpy(phi, -180, 180)
+        if radiationType == "Directivity":
+            vals = self.getDirectivity(thetaArr, phiArr)
+        elif radiationType == "Power":
+            from ..utils import toDb
+            vals = toDb(np.maximum(self.getPowerPattern(thetaArr, phiArr), 1e-12))
+        else:
+            vals = self.getField(thetaArr, phiArr)
+        vals = np.atleast_2d(vals)
+        if normalize:
+            vals = vals - vals.max() if radiationType != "Field" else vals / vals.max()
+        if len(thetaArr) == 1 or len(phiArr) == 1:
+            ang = (phiArr if len(thetaArr) == 1 else thetaArr) * np.pi / 180
+            if ax is None:
+                _, ax = plt.subplots(subplot_kw=dict(projection="polar"))
+            ax.plot(ang, vals.reshape(-1))
+        else:
+            if ax is None:
+                fig = plt.figure()
+                ax = fig.add_subplot(projection="3d")
+            th = thetaArr.reshape(-1, 1) * np.pi / 180
+            ph = phiArr.reshape(1, -1) * np.pi / 180
+            r = vals - vals.min() if radiationType != "Field" else vals
+            x = r * np.sin(th) * np.cos(ph)
+            y = r * np.sin(th) * np.sin(ph)
+            z = r * np.cos(th) * np.ones_like(ph)
+            ax.plot_surface(x, y, z, cmap="viridis")
+            ax.view_init(*viewAngles)
+        if title:
+            ax.set_title(title)
+        return ax
+
+
+# attach the pattern-analysis API to panels and arrays
+for _name in ("getSteeringVector", "_element_polarized", "getPolarizedFields",
+              "getField", "getPowerPattern", "getFieldPattern", "getMaxDim",
+              "getIntegralAngleStep", "getDirectivity", "drawRadiation"):
+    setattr(AntennaPanel, _name, getattr(_PatternMixin, _name))
+    setattr(AntennaArray, _name, getattr(_PatternMixin, _name))
+
+
 # ============================================================ field evaluation
 def rotation_matrix(orientation) -> np.ndarray:
     """Forward composite rotation (TR 38.901 Eq. 7.1-4); host-side."""

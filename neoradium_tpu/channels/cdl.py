@@ -340,3 +340,42 @@ class CdlChannel(ChannelBase):
         if self.hasLos:
             g = jnp.concatenate([self._los_gains(tSamples), g], axis=-1)
         return g
+
+    # ------------------------------------------------------------- datasets
+    @classmethod
+    def getChanGen(cls, numChannels, carrier, profiles="ABCDE",
+                   delaySpread=(10, 500), ueSpeed=(5, 20),
+                   ueDir=(0, 360), seed=None, **kwargs):
+        """Generator of random-channel matrices for dataset creation
+        (reference cdl.py:934-1128): per channel, a random profile, a delay
+        spread / UE speed / direction drawn from tuples (uniform range),
+        lists (choice), or scalars, and an independent random realization.
+
+        Deviation: the reference converts ueDir to radians and then the
+        CdlChannel constructor converts AGAIN (cdl.py:1090,1117 +
+        toRadian in __init__), collapsing all directions to ~0; we pass
+        degrees once.
+        """
+        from ..random import RanGen, random as globalRandom
+        carrierFreq = kwargs.get("carrierFreq", 3.5e9)
+        rangen = (globalRandom if seed is None
+                  else RanGen(RanGen.getGenerator(seed)))
+
+        def draw(spec, n):
+            if isinstance(spec, tuple):
+                return rangen.uniform(*spec, n)
+            if isinstance(spec, list):
+                return rangen.choice(np.float64(spec), n)
+            return np.full(n, float(spec))
+
+        profs = rangen.choice(list(profiles), size=numChannels)
+        speeds = draw(ueSpeed, numChannels)
+        dirs = draw(ueDir, numChannels)
+        spreads = draw(delaySpread, numChannels)
+        chanSeeds = rangen.integers(10, 1000, size=numChannels)
+        for i in range(numChannels):
+            chan = cls(carrier, str(profs[i]), delaySpread=float(spreads[i]),
+                       dopplerShift=float(speeds[i]) * carrierFreq / 299792458.0,
+                       ueDirAZ=[float(dirs[i]), 90], **kwargs)
+            state = chan.init_state(jax.random.PRNGKey(int(chanSeeds[i])))
+            yield np.asarray(chan.channel_matrix(state, slotNo=0))

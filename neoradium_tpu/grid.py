@@ -55,6 +55,38 @@ class HostGrid:
                 out[name] = n
         return out
 
+    def drawMap(self, ports=(0,), reRange=(0, 12), title=None, ax=None):
+        """Color-coded RE map per port (reference grid.py:1190-1246);
+        requires matplotlib."""
+        import matplotlib.pyplot as plt
+        import matplotlib.patches as mpatches
+        from matplotlib.colors import ListedColormap
+        k0, k1 = reRange
+        colors = ["#d0d0d0", "#404040", "#a0a0a0", "#2b8cbe", "#88419d",
+                  "#e34a33", "#fdbb84", "#31a354", "#238b45", "#636363",
+                  "#969696", "#bdbdbd", "#fec44f", "#c994c7"]
+        cmap = ListedColormap(colors[: len(RE_TYPES)])
+        axes = []
+        for p in ports:
+            if ax is None:
+                _, a = plt.subplots(figsize=(8, 3))
+            else:
+                a = ax
+            img = self.reTypeIds[p, :, k0:k1]
+            a.imshow(img, aspect="auto", cmap=cmap, vmin=0,
+                     vmax=len(RE_TYPES) - 1, origin="lower",
+                     extent=[k0, k1, 0, img.shape[0]])
+            present = sorted(set(img.flatten().tolist()))
+            a.legend(handles=[mpatches.Patch(color=colors[t],
+                                             label=RE_TYPES[t])
+                              for t in present], loc="upper right",
+                     fontsize=7)
+            a.set_xlabel("Subcarrier")
+            a.set_ylabel("Symbol")
+            a.set_title(title or f"Port {p}")
+            axes.append(a)
+        return axes if len(axes) > 1 else axes[0]
+
 
 # ---------------------------------------------------------------- device ops
 def precode(grid: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:

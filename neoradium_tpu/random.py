@@ -62,38 +62,70 @@ class PRNG:
         return self.awgn_from_key(self.key(trial, slot, "awgn"), shape, std)
 
 
-class HostRanGen:
-    """Host NumPy generator matching the reference's default (PCG64) semantics.
+class NrGen1(np.random.RandomState):
+    """Legacy RandomState + bits/awgn (reference random.py:190-195).
 
-    reference random.py: ``bits(n)`` = integers in {0,1}; ``awgn(shape, sigma)``
-    = (normal(0, sigma, shape+(2,)) * [1, 1j]).sum(-1)/sqrt(2).
-    """
+    With an integer seed this matches MATLAB's default RNG stream
+    (``rng(seed)`` → ``rand``), which the reference uses for
+    MATLAB-comparison tests."""
 
-    def __init__(self, seed: int | None = None):
-        self.setSeed(seed)
+    def integers(self, low, high=None, size=None, dtype=np.int64):
+        return self.randint(low, high, size, dtype)
+
+    def bits(self, size):
+        return self.randint(0, 2, size, dtype=np.int8)
+
+    def awgn(self, shape, noiseStd):
+        g = self.normal(0, noiseStd / np.sqrt(2), tuple(shape) + (2,))
+        return g[..., 0] + 1j * g[..., 1]
+
+
+class NrGen2(np.random.Generator):
+    """NumPy Generator + bits/awgn/randint (reference random.py:198-203)."""
+
+    def randint(self, low, high=None, size=None, dtype=int):
+        return self.integers(low, high, size, dtype)
+
+    def bits(self, size):
+        return self.integers(0, 2, size, dtype=np.int8)
+
+    def awgn(self, shape, noiseStd):
+        g = self.normal(0, noiseStd / np.sqrt(2), tuple(shape) + (2,))
+        return g[..., 0] + 1j * g[..., 1]
+
+
+class RanGen:
+    """Host RNG facade (reference random.py:206-318): delegates every method
+    to the wrapped generator; ``getGenerator``/``setSeed`` select among
+    PCG64 (default), any NumPy BitGenerator (MT19937/Philox/SFC64), Generator,
+    or legacy RandomState (MATLAB-compatible)."""
+
+    def __init__(self, generator=None):
+        self.generator = self.getGenerator() if generator is None else generator
+
+    @staticmethod
+    def getGenerator(seed=None):
+        if seed is None:
+            return NrGen2(np.random.PCG64())
+        if isinstance(seed, (int, np.integer)):
+            return NrGen2(np.random.PCG64(seed))
+        if isinstance(seed, np.random.BitGenerator):
+            return NrGen2(seed)
+        if isinstance(seed, np.random.RandomState):
+            g = NrGen1()
+            g.set_state(seed.get_state())
+            return g
+        if isinstance(seed, np.random.Generator):
+            return NrGen2(seed.bit_generator)
+        raise ValueError(f"Unsupported seed type {type(seed)!r}")
 
     def setSeed(self, seed):
-        self.gen = np.random.Generator(np.random.PCG64(seed))
+        self.generator = self.getGenerator(seed)
 
-    def bits(self, n) -> np.ndarray:
-        return self.gen.integers(0, 2, size=n, dtype=np.int8)
-
-    def awgn(self, shape, sigma=1.0) -> np.ndarray:
-        g = self.gen.normal(0, sigma, tuple(shape) + (2,))
-        return (g[..., 0] + 1j * g[..., 1]) / np.sqrt(2)
-
-    def normal(self, loc, scale, size) -> np.ndarray:
-        return self.gen.normal(loc, scale, size)
-
-    def uniform(self, lo, hi, size=None) -> np.ndarray:
-        return self.gen.uniform(lo, hi, size)
-
-    def permutation(self, x) -> np.ndarray:
-        return self.gen.permutation(x)
-
-    def integers(self, lo, hi, size=None):
-        return self.gen.integers(lo, hi, size)
+    def __getattr__(self, name):
+        return getattr(self.generator, name)
 
 
-# Global host generator (mirrors the reference's module-level ``random`` object)
-random = HostRanGen()
+# Global host generator (mirrors the reference's module-level ``random``)
+random = RanGen()
+HostRanGen = RanGen  # back-compat alias
