@@ -1,0 +1,50 @@
+"""CSI feedback pipeline (mirrors reference Playground/CSI-RS + csifeedback;
+SURVEY.md §3.4): CSI-RS population -> channel + noise -> LS estimation from
+CSI-RS -> RI/PMI/CQI report.
+
+Run: python examples/csi_feedback.py
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Examples default to CPU for fast startup; set NR_TPU=1 to run on TPU.
+if not os.environ.get("NR_TPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import neoradium_tpu as nr
+
+
+def main():
+    carrier = nr.CarrierConfig(numRbs=24, spacing=30)
+    csiCfg = nr.CsiRsConfig(carrier=carrier, numPorts=8)
+    report = nr.CsiReport(csiCfg, n1=4, n2=1, cqiTable=2)
+
+    chan = nr.CdlChannel(
+        carrier, "B", delaySpread=100, dopplerShift=20,
+        txAntenna=nr.AntennaPanel((1, 4), polarization="x"),   # 8 ports
+        rxAntenna=nr.AntennaPanel((1, 2), polarization="|"))
+    state = chan.init_state(jax.random.PRNGKey(2))
+    H = np.asarray(chan.channel_matrix(state))                 # (L, K, 2, 8)
+
+    # transmit CSI-RS through the channel, estimate from the pilots
+    pilots = jnp.asarray(csiCfg.pilot_grid(0))
+    rx = nr.apply_channel_freq(pilots, jnp.asarray(H))
+    noiseVar = 1e-3
+    rx = rx + nr.PRNG.awgn_from_key(jax.random.PRNGKey(3), rx.shape,
+                                    np.sqrt(noiseVar))
+    est = nr.LsChannelEstimator.from_csirs(csiCfg)
+    hEst, estNv = est.estimate(rx)
+
+    r = report.computeReport(np.asarray(hEst), float(estNv))
+    print(f"rank (RI) = {r['rank']}")
+    print(f"PMI       = i1={r['pmi'][0]}, i2 per subband={r['pmi'][1]}")
+    print(f"CQI       = {r['cqi']} (subbands: {r['subbandCqis']})")
+
+
+if __name__ == "__main__":
+    main()
