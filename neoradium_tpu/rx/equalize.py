@@ -13,6 +13,40 @@ import jax.numpy as jnp
 from ..utils import herm
 
 
+def inv_hpd_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of small batched hermitian positive-definite matrices
+    (..., n, n) via a statically-unrolled Gauss-Jordan sweep.
+
+    TPU-critical: ``jnp.linalg.inv`` lowers tiny batched inversions to a
+    generic LU path that runs ~15x slower than the rest of the PDSCH
+    pipeline combined; this unrolled elimination is pure fused elementwise
+    VPU work. No pivoting — A = H^H H + nv I is HPD, so diagonal pivots
+    stay bounded away from zero.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return 1.0 / a
+    if n == 2:
+        a00 = a[..., 0, 0]
+        a01 = a[..., 0, 1]
+        a10 = a[..., 1, 0]
+        a11 = a[..., 1, 1]
+        det = a00 * a11 - a01 * a10
+        row0 = jnp.stack([a11, -a01], axis=-1)
+        row1 = jnp.stack([-a10, a00], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    # general small n: Gauss-Jordan on [A | I], loop unrolled at trace time
+    m = jnp.concatenate([a, jnp.broadcast_to(
+        jnp.eye(n, dtype=a.dtype), a.shape)], axis=-1)        # (..., n, 2n)
+    for i in range(n):
+        pivot = m[..., i:i + 1, :] / m[..., i:i + 1, i:i + 1]
+        factors = m[..., :, i:i + 1]
+        m = m - factors * pivot
+        # restore the pivot row (it zeroed itself above)
+        m = m.at[..., i, :].set(pivot[..., 0, :])
+    return m[..., n:]
+
+
 def mmse_equalize(rxGrid: jnp.ndarray, hf: jnp.ndarray, noiseVar):
     """Equalize a received grid with a (possibly precoded) channel estimate.
 
@@ -30,7 +64,7 @@ def mmse_equalize(rxGrid: jnp.ndarray, hf: jnp.ndarray, noiseVar):
     nv = jnp.maximum(jnp.asarray(noiseVar, jnp.float32), 1e-8)
     hh = jnp.einsum("...lkri,...lkrj->...lkij", jnp.conj(hf), hf)
     a = hh + nv * jnp.eye(nl, dtype=hf.dtype)
-    ainv = jnp.linalg.inv(a)                                  # (..., L, K, Nl, Nl)
+    ainv = inv_hpd_small(a)                                   # (..., L, K, Nl, Nl)
     llrScale = (1.0 / jnp.diagonal(ainv, axis1=-2, axis2=-1)).real
     w = ainv @ herm(hf)                                       # (..., L, K, Nl, Nr)
     eq = jnp.einsum("...lkir,...rlk->...ilk", w, rxGrid)
