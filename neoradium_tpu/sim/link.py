@@ -203,3 +203,62 @@ class PdschLinkSim:
         def fn(key, snrDb):
             return self.run_slot(key, snrDb, channel)
         return fn
+
+    def make_multislot_fn(self, numSlots: int):
+        """(key, snrDb) -> summed metrics over ``numSlots`` consecutive slots
+        with ONE fading realization evolving across them (the reference's
+        per-SNR-point slot loop with channel.goNext(), SURVEY.md §3.2) as a
+        ``lax.scan``. Frequency-domain channel path only.
+        """
+        if self.domain != "freq" or self.channelModel is None:
+            raise ValueError("multislot path needs domain='freq' + channelModel")
+        plan, pdsch, chan = self.plan, self.pdsch, self.channelModel
+        numCW = pdsch.numCW
+
+        def fn(key, snrDb):
+            snr = 10.0 ** (snrDb / 10.0)
+            kChan, kLoop = jax.random.split(key)
+            state = chan.init_state(kChan)
+
+            def step(carry, slotNo):
+                kSlot = jax.random.fold_in(kLoop, slotNo)
+                kBits, kNoise = jax.random.split(kSlot)
+                payloads, rmBits = [], []
+                for q in range(numCW):
+                    kq = jax.random.fold_in(kBits, q)
+                    p = jax.random.bernoulli(kq, 0.5, (self.tbs[q],)).astype(jnp.int8)
+                    payloads.append(p)
+                    rmBits.append(self.ldpc[q][0].encode_tb(p))
+                grid = plan.populate(rmBits if numCW > 1 else rmBits[0])
+                H = chan.channel_matrix(state, slotNo)
+                F = pdsch.precoding_matrix_traced(H)
+                rxGrid0 = apply_channel_freq(precode(grid, F), H)
+                if self.useRxPower:
+                    sigma = jnp.sqrt(jnp.var(rxGrid0.reshape(-1)) / snr)
+                else:
+                    sigma = jnp.sqrt(1.0 / (snr * self.numRx))
+                rxGrid = rxGrid0 + PRNG.awgn_from_key(
+                    kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
+                noiseVar = sigma ** 2
+                if self.chEst == "ls":
+                    hEff, _ = self.estimator.estimate(rxGrid)
+                else:
+                    hEff = H @ (F if F.ndim >= 3 else F[None, None])
+                eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
+                llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
+                bitErr = jnp.zeros((), jnp.int32)
+                blkErr = jnp.zeros((), jnp.int32)
+                for q in range(numCW):
+                    decoded, ok, _ = self.ldpc[q][1].decode_tb(
+                        llrs[q], numIter=self.decoderIter)
+                    bitErr += jnp.sum(decoded != payloads[q], dtype=jnp.int32)
+                    blkErr += (~ok).astype(jnp.int32)
+                return carry, dict(bitErrors=bitErr, blockErrors=blkErr)
+
+            _, ys = jax.lax.scan(step, (), jnp.arange(numSlots))
+            totalBits = numSlots * sum(self.tbs[: numCW])
+            return dict(bitErrors=jnp.sum(ys["bitErrors"]),
+                        blockErrors=jnp.sum(ys["blockErrors"]),
+                        bits=jnp.int32(totalBits),
+                        blocks=jnp.int32(numSlots * numCW))
+        return fn

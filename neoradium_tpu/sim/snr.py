@@ -156,6 +156,25 @@ class SnrScheduler:
             else:
                 self.state, self.curSnr = "GoingUp", self.curSnr + step
 
+    # --------------------------------------------------------- checkpointing
+    def state_dict(self) -> dict:
+        """Serializable state for checkpoint/resume of long sweeps."""
+        return dict(curSnr=self.curSnr, state=self.state,
+                    curLo=None if np.isneginf(self.curLo) else self.curLo,
+                    curHi=None if np.isposinf(self.curHi) else self.curHi,
+                    upStart=self._upStart, snrs=list(self._snrs),
+                    data=[list(d) for d in self._data], pending=self._pending)
+
+    def load_state_dict(self, s: dict):
+        self.curSnr = s["curSnr"]
+        self.state = s["state"]
+        self.curLo = -np.inf if s["curLo"] is None else s["curLo"]
+        self.curHi = np.inf if s["curHi"] is None else s["curHi"]
+        self._upStart = s["upStart"]
+        self._snrs = list(s["snrs"])
+        self._data = [tuple(d) for d in s["data"]]
+        self._pending = s["pending"]
+
     # ------------------------------------------------------------- results
     def getSnrsAndData(self):
         """Sorted in-bracket [snrs, metric, *extras] arrays."""

@@ -92,3 +92,24 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert len(out) == 2
     mod.dryrun_multichip(8)
+
+
+def test_multislot_slot_continuous_fading():
+    """make_multislot_fn: N consecutive slots share one fading realization
+    (reference per-SNR slot loop with goNext)."""
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
+    car = CarrierConfig(numRbs=4, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=100, dopplerShift=10,
+                      txAntenna=AntennaPanel((2, 1), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="QPSK"),
+                       dmrsKw=dict(configType=2, additionalPos=1),
+                       codeRate=449 / 1024, domain="freq",
+                       channelModel=chan, chEst="ls", decoderIter=6)
+    fn = jax.jit(sim.make_multislot_fn(numSlots=3))
+    hi = fn(jax.random.PRNGKey(0), jnp.float32(28.0))
+    lo = fn(jax.random.PRNGKey(0), jnp.float32(-12.0))
+    assert int(hi["blocks"]) == 3
+    assert int(hi["blockErrors"]) == 0
+    assert int(lo["blockErrors"]) == 3

@@ -63,3 +63,51 @@ def test_reset_reusable():
     sched.reset()
     snrs, blers = run(sched, bler_curve(mid=5.0))
     assert blers[0] == 100.0 and blers[-1] == 0.0
+
+
+def test_checkpoint_resume(tmp_path):
+    """A sweep interrupted mid-way resumes and produces the same curve."""
+    import json
+    import jax.numpy as jnp
+    from neoradium_tpu.sim.checkpoint import run_checkpointed_sweep
+
+    f = bler_curve()
+
+    def point_fn(keys, snrDb):
+        bler = f(float(snrDb))
+        return dict(blockErrors=int(bler), blocks=100,
+                    bitErrors=int(bler * 10), bits=1000)
+
+    ck = str(tmp_path / "sweep.json")
+    # full run (reference result)
+    ref = run_checkpointed_sweep(point_fn, SnrScheduler(snr0=-8, step=0.5),
+                                 None, str(tmp_path / "ref.json"))
+
+    # interrupted run: stop after 5 points by raising
+    sched = SnrScheduler(snr0=-8, step=0.5)
+    count = [0]
+
+    def failing_fn(keys, snrDb):
+        count[0] += 1
+        if count[0] > 5:
+            raise KeyboardInterrupt
+        return point_fn(keys, snrDb)
+
+    try:
+        run_checkpointed_sweep(failing_fn, sched, None, ck)
+    except KeyboardInterrupt:
+        pass
+    assert json.load(open(ck))["scheduler"]["snrs"]
+    # resume with a FRESH scheduler object
+    out = run_checkpointed_sweep(point_fn, SnrScheduler(snr0=-8, step=0.5),
+                                 None, ck)
+    assert np.allclose(out[0], ref[0]) and np.allclose(out[1], ref[1])
+
+
+def test_stage_timer():
+    from neoradium_tpu.sim.checkpoint import StageTimer
+    import time as _t
+    with StageTimer() as t:
+        with t.stage("work", items=100):
+            _t.sleep(0.01)
+    assert "work" in t.report()
