@@ -57,14 +57,13 @@ class PdschHarqSim:
     Wraps a :class:`PdschLinkSim` (frequency-domain channel path) and runs
     ``numSlots`` slots per trial under ``lax.scan``; the fading channel
     evolves over slots within a trial (reference §3.2 throughput loop).
-    Single-codeword configs (numLayers <= 4) for now, matching the
-    reference throughput notebook.
+    Supports one or two codewords (numLayers up to 8); each codeword has
+    its own try counter / rv / soft buffer, like the reference HarqProcess
+    holding 1-2 HarqCW state machines (harq.py:205-365).
     """
 
     def __init__(self, linkSim: PdschLinkSim, harq: HarqConfig | None = None,
                  numSlots: int = 20):
-        if linkSim.pdsch.numCW != 1:
-            raise ValueError("HARQ sim currently supports single-codeword PDSCH")
         if linkSim.domain != "freq":
             raise ValueError("HARQ sim uses the frequency-domain channel path")
         if linkSim.channelModel is None:
@@ -72,61 +71,72 @@ class PdschHarqSim:
         self.sim = linkSim
         self.harq = harq or HarqConfig()
         self.numSlots = numSlots
-        self.enc, self.dec = linkSim.ldpc[0]
-        self.tbs = linkSim.tbs[0]
+        self.numCW = linkSim.pdsch.numCW
+        self.coders = linkSim.ldpc                 # [(enc, dec)] per codeword
+        self.tbs = linkSim.tbs
 
     # ------------------------------------------------------------------ scan
     def run_trial(self, key: jax.Array, snrDb):
         """One trial: scan numSlots slots. Returns per-try stats dict."""
         sim, harq = self.sim, self.harq
         plan, pdsch = sim.plan, sim.pdsch
-        enc, dec = self.enc, self.dec
-        cfg = enc.cfg
         chan = sim.channelModel
         snr = 10.0 ** (snrDb / 10.0)
         maxTries = harq.maxTries
+        numCW = self.numCW
 
         kChan, kLoop = jax.random.split(key)
         chanState = chan.init_state(kChan)
 
-        # rv-variant branches (static index tables per rv)
+        # rv-variant branches per codeword (static index tables per rv)
         rvForTry = [harq.rv_for_try(t) for t in range(maxTries)]
-        rm_branches = [lambda coded, rv=rv: enc.rate_match(coded, rv)
-                       for rv in rvForTry]
+        rm_branches = [[lambda coded, rv=rv, q=q: self.coders[q][0].rate_match(coded, rv)
+                        for rv in rvForTry] for q in range(numCW)]
 
-        def rr_branch(rv):
+        def rr_branch(q, rv):
             def f(args):
                 llrs, buf = args
-                return dec.recover_rate(llrs, rv, buf)
+                return self.coders[q][1].recover_rate(llrs, rv, buf)
             return f
-        rr_branches = [rr_branch(rv) for rv in rvForTry]
+        rr_branches = [[rr_branch(q, rv) for rv in rvForTry]
+                       for q in range(numCW)]
 
-        C, K = cfg.numCodeBlocks, cfg.codeBlockSize
-        carry0 = dict(
-            payload=jnp.zeros((harq.numProc, self.tbs), jnp.int8),
-            softBuf=jnp.zeros((harq.numProc, C, cfg.cirBufSize), jnp.float32),
-            curTry=jnp.zeros((harq.numProc,), jnp.int32),
-        )
+        carry0 = {}
+        for q in range(numCW):
+            cfg = self.coders[q][0].cfg
+            carry0[f"payload{q}"] = jnp.zeros((harq.numProc, self.tbs[q]),
+                                              jnp.int8)
+            carry0[f"softBuf{q}"] = jnp.zeros(
+                (harq.numProc, cfg.numCodeBlocks, cfg.cirBufSize), jnp.float32)
+            carry0[f"curTry{q}"] = jnp.zeros((harq.numProc,), jnp.int32)
 
         def step(carry, slotNo):
             proc = slotNo % harq.numProc
-            curTry = carry["curTry"][proc]
-            newTx = curTry == 0
             kSlot = jax.random.fold_in(kLoop, slotNo)
             kBits, kNoise = jax.random.split(kSlot)
 
-            newPayload = jax.random.bernoulli(
-                kBits, 0.5, (self.tbs,)).astype(jnp.int8)
-            payload = jnp.where(newTx, newPayload, carry["payload"][proc])
+            # ---- TX per codeword: encode every slot (cheap, static shapes);
+            # re-TX just re-rate-matches the same coded bits at the new rv.
+            payloads, allBits, curTries, newTxs = [], [], [], []
+            for q in range(numCW):
+                enc = self.coders[q][0]
+                curTry = carry[f"curTry{q}"][proc]
+                newTx = curTry == 0
+                kq = jax.random.fold_in(kBits, q)
+                newPayload = jax.random.bernoulli(
+                    kq, 0.5, (self.tbs[q],)).astype(jnp.int8)
+                payload = jnp.where(newTx, newPayload,
+                                    carry[f"payload{q}"][proc])
+                coded = enc.encode(enc.segment(payload))
+                bits = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
+                                      rm_branches[q], coded)
+                payloads.append(payload)
+                allBits.append(bits)
+                curTries.append(curTry)
+                newTxs.append(newTx)
+            grid = plan.populate(allBits if numCW > 1 else allBits[0])
 
-            # TX: encode every slot (cheap, keeps shapes static); re-TX just
-            # re-rate-matches the same coded bits at the new rv.
-            coded = enc.encode(enc.segment(payload))
-            bits = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
-                                  rm_branches, coded)
-            grid = plan.populate(bits)
-
-            # channel with slot-continuous fading + precoding
+            # ---- channel with slot-continuous fading + precoding
             H = chan.channel_matrix(chanState, slotNo)
             F = pdsch.precoding_matrix_traced(H)
             txGrid = precode(grid, F)
@@ -143,37 +153,53 @@ class PdschHarqSim:
             else:
                 hEff = H @ (F if F.ndim >= 3 else F[None, None])
             eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
-            llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)[0]
+            llrsAll = plan.extract_llrs(eqGrid, llrScales, noiseVar)
 
-            softIn = jnp.where(newTx, 0.0, carry["softBuf"][proc])
-            rec, buf = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
-                                      rr_branches, (llrs, softIn))
-            decoded = dec.decode(rec, numIter=sim.decoderIter)
-            merged, cbOk = dec.check_crc_and_merge(decoded)
-            ok = jnp.all(cbOk, axis=-1)
-
-            timeout = (~ok) & (curTry + 1 >= maxTries)
-            nextTry = jnp.where(ok | timeout, 0, curTry + 1)
-            carry = dict(
-                payload=carry["payload"].at[proc].set(payload),
-                softBuf=carry["softBuf"].at[proc].set(buf),
-                curTry=carry["curTry"].at[proc].set(nextTry),
-            )
-            bitErr = jnp.sum(merged[..., :self.tbs] != payload, dtype=jnp.int32)
-            y = dict(tryNo=curTry, ok=ok, timeout=timeout, bitErrors=bitErr)
-            return carry, y
+            # ---- RX per codeword: combine, decode, update HARQ state
+            newCarry = dict(carry)
+            ys = dict()
+            tryNo, okArr, timeoutArr = [], [], []
+            bitErr = jnp.zeros((), jnp.int32)
+            for q in range(numCW):
+                dec = self.coders[q][1]
+                curTry, newTx = curTries[q], newTxs[q]
+                softIn = jnp.where(newTx, 0.0, carry[f"softBuf{q}"][proc])
+                rec, buf = jax.lax.switch(jnp.minimum(curTry, maxTries - 1),
+                                          rr_branches[q], (llrsAll[q], softIn))
+                decoded = dec.decode(rec, numIter=sim.decoderIter)
+                merged, cbOk = dec.check_crc_and_merge(decoded)
+                ok = jnp.all(cbOk, axis=-1)
+                timeout = (~ok) & (curTry + 1 >= maxTries)
+                nextTry = jnp.where(ok | timeout, 0, curTry + 1)
+                newCarry[f"payload{q}"] = carry[f"payload{q}"].at[proc].set(
+                    payloads[q])
+                newCarry[f"softBuf{q}"] = carry[f"softBuf{q}"].at[proc].set(buf)
+                newCarry[f"curTry{q}"] = carry[f"curTry{q}"].at[proc].set(nextTry)
+                bitErr += jnp.sum(merged[..., : self.tbs[q]] != payloads[q],
+                                  dtype=jnp.int32)
+                tryNo.append(curTry)
+                okArr.append(ok)
+                timeoutArr.append(timeout)
+            y = dict(tryNo=jnp.stack(tryNo), ok=jnp.stack(okArr),
+                     timeout=jnp.stack(timeoutArr), bitErrors=bitErr)
+            return newCarry, y
 
         _, ys = jax.lax.scan(step, carry0, jnp.arange(self.numSlots))
 
-        # per-try histograms (reference harq.py:update)
-        tries = ys["tryNo"]
+        # per-try histograms (reference harq.py:update), summed over codewords
+        tries = ys["tryNo"]                              # (slots, numCW)
         okF = ys["ok"]
-        oneHot = (tries[:, None] == jnp.arange(maxTries)[None, :])
-        txBlocks = jnp.sum(oneHot, axis=0, dtype=jnp.int32)
-        rxBlocks = jnp.sum(oneHot & okF[:, None], axis=0, dtype=jnp.int32)
+        tbsArr = jnp.asarray(self.tbs[: numCW])[None, :, None]
+        oneHot = (tries[..., None] == jnp.arange(maxTries)[None, None, :])
+        txBlocks = jnp.sum(oneHot, axis=(0, 1), dtype=jnp.int32)
+        rxBlocks = jnp.sum(oneHot & okF[..., None], axis=(0, 1),
+                           dtype=jnp.int32)
+        txBits = jnp.sum(oneHot * tbsArr, axis=(0, 1)).astype(jnp.int32)
+        rxBits = jnp.sum((oneHot & okF[..., None]) * tbsArr,
+                         axis=(0, 1)).astype(jnp.int32)
         return dict(
             txBlocks=txBlocks, rxBlocks=rxBlocks,
-            txBits=txBlocks * self.tbs, rxBits=rxBlocks * self.tbs,
+            txBits=txBits, rxBits=rxBits,
             numTimeouts=jnp.sum(ys["timeout"], dtype=jnp.int32),
             bitErrors=jnp.sum(ys["bitErrors"], dtype=jnp.int32),
         )

@@ -74,3 +74,26 @@ def test_harq_config_validation():
         HarqConfig(harqType="XX")
     assert HarqConfig(harqType="CC").rv_for_try(2) == 0
     assert HarqConfig(harqType="IR").rv_for_try(1) == 2
+
+
+def test_dual_codeword_harq():
+    """numLayers > 4 -> 2 codewords, each with its own HARQ state machine."""
+    car = CarrierConfig(numRbs=4, spacing=30)
+    ch = CdlChannel(car, "C", delaySpread=100, dopplerShift=20,
+                    txAntenna=AntennaPanel((2, 2), polarization="x"),
+                    rxAntenna=AntennaPanel((2, 2), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=6, modulation="QPSK"),
+                       dmrsKw=dict(configType=2, symbols=2),
+                       codeRate=308 / 1024, domain="freq",
+                       channelModel=ch, chEst="perfect", decoderIter=6)
+    assert sim.pdsch.numCW == 2
+    hsim = PdschHarqSim(sim, HarqConfig(numProc=2, maxTries=2, harqType="IR"),
+                        numSlots=4)
+    trial = jax.jit(hsim.run_trial)
+    hi = trial(jax.random.PRNGKey(0), jnp.float32(30.0))
+    s = PdschHarqSim.stats({k: np.asarray(v) for k, v in hi.items()})
+    assert s["throughput"] == 100.0
+    assert int(np.asarray(hi["txBlocks"]).sum()) == 8   # 4 slots x 2 CWs
+    lo = trial(jax.random.PRNGKey(0), jnp.float32(-15.0))
+    s = PdschHarqSim.stats({k: np.asarray(v) for k, v in lo.items()})
+    assert s["throughput"] == 0.0
