@@ -47,6 +47,35 @@ def inv_hpd_small(a: jnp.ndarray) -> jnp.ndarray:
     return m[..., n:]
 
 
+def _inv_components(a, n):
+    """Inverse of an HPD matrix given as an n x n nested list of (broadcast-
+    compatible) component arrays. Returns the same nested-list form.
+
+    Closed forms for n=1/2, unrolled no-pivot Gauss-Jordan otherwise — every
+    operation is elementwise over the component arrays (the big (L, K) plane),
+    which is the TPU-friendly layout (see grid.py SoA note).
+    """
+    if n == 1:
+        return [[1.0 / a[0][0]]]
+    if n == 2:
+        det = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+        return [[a[1][1] / det, -a[0][1] / det],
+                [-a[1][0] / det, a[0][0] / det]]
+    # Gauss-Jordan on [A | I] over component arrays, unrolled at trace time.
+    dt = jnp.result_type(a[0][0])
+    m = [list(a[i]) + [jnp.asarray(1.0 if i == j else 0.0, dt)
+                       for j in range(n)] for i in range(n)]
+    for i in range(n):
+        piv = 1.0 / m[i][i]
+        m[i] = [x * piv for x in m[i]]
+        for r in range(n):
+            if r == i:
+                continue
+            fac = m[r][i]
+            m[r] = [m[r][j] - fac * m[i][j] for j in range(2 * n)]
+    return [row[n:] for row in m]
+
+
 def mmse_equalize(rxGrid: jnp.ndarray, hf: jnp.ndarray, noiseVar):
     """Equalize a received grid with a (possibly precoded) channel estimate.
 
@@ -59,14 +88,32 @@ def mmse_equalize(rxGrid: jnp.ndarray, hf: jnp.ndarray, noiseVar):
     Returns:
       eqGrid: (..., Nl, L, K) equalized symbols.
       llrScales: (..., Nl, L, K) real LLR scaling factors.
+
+    TPU note: implemented structure-of-arrays — the tiny (Nr, Nl) matrix dims
+    are unrolled in Python so every op is elementwise over the (L, K) plane
+    (see grid.py SoA note; ~5x over the einsum/inv_hpd_small formulation).
     """
-    nl = hf.shape[-1]
+    nr, nl = hf.shape[-2], hf.shape[-1]
     nv = jnp.maximum(jnp.asarray(noiseVar, jnp.float32), 1e-8)
-    hh = jnp.einsum("...lkri,...lkrj->...lkij", jnp.conj(hf), hf)
-    a = hh + nv * jnp.eye(nl, dtype=hf.dtype)
-    ainv = inv_hpd_small(a)                                   # (..., L, K, Nl, Nl)
-    llrScale = (1.0 / jnp.diagonal(ainv, axis1=-2, axis2=-1)).real
-    w = ainv @ herm(hf)                                       # (..., L, K, Nl, Nr)
-    eq = jnp.einsum("...lkir,...rlk->...ilk", w, rxGrid)
-    scales = jnp.moveaxis(llrScale, -1, -3)                   # (..., Nl, L, K)
-    return eq, scales
+    if max(nr, nl) > 8:
+        hh = jnp.einsum("...lkri,...lkrj->...lkij", jnp.conj(hf), hf)
+        a = hh + nv * jnp.eye(nl, dtype=hf.dtype)
+        ainv = inv_hpd_small(a)                               # (..., L, K, Nl, Nl)
+        llrScale = (1.0 / jnp.diagonal(ainv, axis1=-2, axis2=-1)).real
+        w = ainv @ herm(hf)                                   # (..., L, K, Nl, Nr)
+        eq = jnp.einsum("...lkir,...rlk->...ilk", w, rxGrid)
+        return eq, jnp.moveaxis(llrScale, -1, -3)
+    h = [[hf[..., r, i] for i in range(nl)] for r in range(nr)]  # (..., L, K)
+    hc = [[jnp.conj(h[r][i]) for i in range(nl)] for r in range(nr)]
+    a = [[sum(hc[r][i] * h[r][j] for r in range(nr)) for j in range(nl)]
+         for i in range(nl)]
+    for i in range(nl):
+        a[i][i] = a[i][i] + nv
+    inv = _inv_components(a, nl)
+    rxc = [rxGrid[..., r, :, :] for r in range(nr)]
+    eq, scales = [], []
+    for i in range(nl):
+        w = [sum(inv[i][j] * hc[r][j] for j in range(nl)) for r in range(nr)]
+        eq.append(sum(w[r] * rxc[r] for r in range(nr)))
+        scales.append((1.0 / inv[i][i]).real)
+    return jnp.stack(eq, axis=-3), jnp.stack(scales, axis=-3)
