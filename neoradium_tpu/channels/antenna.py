@@ -428,15 +428,21 @@ def elements_fields(spec: dict, theta, phi, orientation):
 
     Pure jnp (jit/vmap-safe). Args:
       spec: from :func:`antenna_spec`.
-      theta, phi: (n, m) global zenith/azimuth angles (radians).
+      theta, phi: global zenith/azimuth angles (radians), any shape A.
       orientation: (alpha, beta, gamma) radians (static tuple/array).
 
     Returns:
-      field: (nEl, 2, n, m) complex-free real fields (V/H polarization).
-      locFactor: (nEl, n, m) complex location phase exp(j*2pi*rHat.pos).
+      field: (nEl, 2, *A) complex-free real fields (V/H polarization).
+      locFactor: (nEl, *A) complex location phase exp(j*2pi*rHat.pos).
+
+    TPU note: callers flatten trailing (clusters, rays) angle grids into one
+    minor axis before calling (20 rays as the lane dim wastes 108/128 lanes).
     """
     theta = jnp.asarray(theta)
     phi = jnp.asarray(phi)
+
+    def col(a):  # (k,) -> (k, *1s) broadcastable against angle-shaped arrays
+        return a.reshape(a.shape + (1,) * theta.ndim)
     r = jnp.asarray(rotation_matrix(np.asarray(orientation, np.float64)),
                     dtype=theta.dtype)
 
@@ -477,8 +483,8 @@ def elements_fields(spec: dict, theta, phi, orientation):
     if spec["polModel"] == 1:
         # Model-1 (TR 38.901 Eq. 7.3-3) evaluated elementwise at the LOCAL
         # angles. polAngle 0 / +-180 shortcut matches antenna.py:1232-1233.
-        cz = jnp.cos(zeta)[:, None, None]
-        sz = jnp.sin(zeta)[:, None, None]
+        cz = col(jnp.cos(zeta))
+        sz = col(jnp.sin(zeta))
         sinTL, cosTLoc = jnp.sin(thetaLocal), jnp.cos(thetaLocal)
         sinPL, cosPL = jnp.sin(phiLocal), jnp.cos(phiLocal)
         denom = jnp.sqrt(jnp.clip(1 - (cz * cosTLoc - sz * sinPL * sinTL) ** 2,
@@ -486,21 +492,21 @@ def elements_fields(spec: dict, theta, phi, orientation):
         cpsiE = (cz * sinTL + sz * sinPL * cosTLoc) / denom
         spsiE = sz * cosPL / denom
         straight = jnp.abs(jnp.abs(zeta) % jnp.pi) < 1e-12       # 0 or +-180 deg
-        sign = jnp.where(jnp.abs(zeta[:, None, None]) > 1e-12, -1.0, 1.0)
-        cpsiE = jnp.where(straight[:, None, None], sign, cpsiE)
-        spsiE = jnp.where(straight[:, None, None], 0.0, spsiE)
+        sign = jnp.where(col(jnp.abs(zeta)) > 1e-12, -1.0, 1.0)
+        cpsiE = jnp.where(col(straight), sign, cpsiE)
+        spsiE = jnp.where(col(straight), 0.0, spsiE)
         fThetaLocal = f[None] * cpsiE
         fPhiLocal = f[None] * spsiE
     else:
-        fThetaLocal = f[None] * jnp.cos(zeta)[:, None, None]     # (nEl, n, m)
-        fPhiLocal = f[None] * jnp.sin(zeta)[:, None, None]
+        fThetaLocal = f[None] * col(jnp.cos(zeta))               # (nEl, *A)
+        fPhiLocal = f[None] * col(jnp.sin(zeta))
 
     field = jnp.stack([fThetaLocal * jnp.cos(psi) - fPhiLocal * jnp.sin(psi),
                        fThetaLocal * jnp.sin(psi) + fPhiLocal * jnp.cos(psi)],
-                      axis=1)                                    # (nEl, 2, n, m)
+                      axis=1)                                    # (nEl, 2, *A)
 
     posG = jnp.einsum("ij,ej->ie", r, jnp.asarray(spec["positions"],
                                                   dtype=theta.dtype))  # (3, nEl)
     locAngle = 2 * jnp.pi * jnp.einsum("i...,ie->e...", rHat, posG)
-    locFactor = jnp.exp(1j * locAngle)                           # (nEl, n, m)
+    locFactor = jnp.exp(1j * locAngle)                           # (nEl, *A)
     return field, locFactor

@@ -194,13 +194,24 @@ class ChannelBase:
         c, offset = self.cir(gains1[:-1])
         nFFT = self.carrier.nFFT
         nc, nr, nt, cl = c.shape
-        buf = jnp.zeros((nc, nr, nt, nFFT), c.dtype)
-        buf = buf.at[..., :cl].set(c)
-        buf = jnp.roll(buf, -offset, axis=-1)
-        h = jnp.fft.fft(buf, axis=-1)                          # (nc, nr, nt, nFFT)
         K = self.carrier.numSubcarriers
-        idx = np.concatenate([np.arange(K // 2) + nFFT - K // 2, np.arange(K // 2)])
-        h = h[..., idx]                                        # (nc, nr, nt, K)
+        # Direct DFT of the short CIR as ONE complex matmul (MXU) over the
+        # cl ~ 100 taps x K wanted subcarriers, instead of zero-padding to
+        # nFFT, rolling by the (traced) timing offset, and a full FFT; the
+        # offset roll becomes a per-subcarrier phase ramp (shift theorem).
+        # ~23ms -> ~1ms per 256-trial batch on the headline bench.
+        W = getattr(self, "_dft_w", None)
+        if W is None or W.shape != (cl, K):
+            kIdx = np.concatenate(
+                [np.arange(K // 2) + nFFT - K // 2, np.arange(K // 2)])
+            self._dft_kidx = kIdx
+            W = np.exp(-2j * np.pi * np.outer(np.arange(cl), kIdx) / nFFT)
+            self._dft_w = W                                    # complex128 host
+        h = c.reshape(nc * nr * nt, cl) @ jnp.asarray(W, c.dtype)
+        rdt = jnp.real(h).dtype
+        ramp = jnp.exp(2j * jnp.pi * jnp.asarray(self._dft_kidx, rdt)
+                       * (offset.astype(rdt) / nFFT)).astype(h.dtype)
+        h = (h * ramp).reshape(nc, nr, nt, K)
         return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
 
     def apply_to_signal(self, waveform, state, slotNo: int = 0):

@@ -48,6 +48,43 @@ def constellation(modulation: str) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
+def pam_axis_tables(modulation: str):
+    """Per-axis PAM decomposition of the Gray-mapped square constellation.
+
+    The 38.211 mappings put even bit positions on I and odd ones on Q, so a
+    max-log LLR separates exactly per axis (the other axis' best term cancels
+    in the subtraction). Returns (levels (2^h,), subsets (h, 2, 2^(h-1)))
+    where h = qm/2: levels[j] is the I amplitude for packed even bits j, and
+    subsets[k, v] lists the level indices whose k-th bit is v. The Q axis
+    uses the same tables (the spec's I/Q recursions are identical).
+    """
+    qm = MOD_TO_QM[modulation]
+    if qm < 2:
+        return None
+    h = qm // 2
+    pts = constellation(modulation)
+    levels = np.empty(1 << h)
+    for j in range(1 << h):
+        # spread packed bits j into even positions of a constellation index
+        v = 0
+        for k in range(h):
+            v |= ((j >> (h - 1 - k)) & 1) << (qm - 1 - 2 * k)
+        levels[j] = pts[v].real
+    # verify the separation on the full constellation
+    for v in range(1 << qm):
+        jI = int("".join(str((v >> (qm - 1 - 2 * k)) & 1) for k in range(h)), 2)
+        jQ = int("".join(str((v >> (qm - 2 - 2 * k)) & 1) for k in range(h)), 2)
+        assert pts[v].real == levels[jI] and pts[v].imag == levels[jQ]
+    idx = np.arange(1 << h)
+    subsets = np.empty((h, 2, 1 << (h - 1)), dtype=np.int32)
+    for k in range(h):
+        bit = (idx >> (h - 1 - k)) & 1
+        subsets[k, 0] = idx[bit == 0]
+        subsets[k, 1] = idx[bit == 1]
+    return levels, subsets
+
+
+@lru_cache(maxsize=8)
 def bit_partition(modulation: str) -> np.ndarray:
     """(2, 2^(qm-1), qm) int32: [b, :, i] = constellation indices whose i-th bit is b."""
     qm = MOD_TO_QM[modulation]
@@ -96,7 +133,15 @@ class Modem:
 
         ``noise_var`` may be a scalar or broadcastable to ``symbols`` (per-RE
         noise, e.g. after MMSE equalization scaling).
+
+        TPU note: the max-log path uses the exact per-axis PAM decomposition
+        (see pam_axis_tables) — 2*2^(qm/2) scalar distances and elementwise
+        min-trees instead of 2^qm complex distances plus a (2, 2^(qm-1), qm)
+        partition gather; mathematically identical, ~4-10x less work and no
+        lane gathers.
         """
+        if use_max and self.qm >= 2:
+            return self._llrs_maxlog_pam(symbols, noise_var)
         const = jnp.asarray(self.constellation.astype(np.complex64))
         d2 = jnp.square(jnp.abs(symbols[..., None] - const))      # (..., 2^qm)
         nv = jnp.asarray(noise_var, dtype=d2.dtype)
@@ -110,6 +155,32 @@ class Modem:
         else:
             lls = jax_logsumexp(grouped, axis=-2)
         llrs = lls[..., 0, :] - lls[..., 1, :]                     # (..., qm)
+        return llrs.reshape(llrs.shape[:-2] + (-1,))
+
+    def _llrs_maxlog_pam(self, symbols: jnp.ndarray, noise_var) -> jnp.ndarray:
+        """Exact max-log LLRs via the per-axis PAM decomposition."""
+        levels, subsets = pam_axis_tables(self.modulation)
+        h = self.qm // 2
+        x, y = jnp.real(symbols), jnp.imag(symbols)
+        nv = jnp.asarray(noise_var, dtype=x.dtype)
+        inv = 1.0 / nv
+        dx = [jnp.square(x - jnp.asarray(a, x.dtype)) for a in levels]
+        dy = [jnp.square(y - jnp.asarray(a, y.dtype)) for a in levels]
+
+        def tree_min(arrs):
+            while len(arrs) > 1:
+                arrs = [jnp.minimum(arrs[i], arrs[i + 1]) if i + 1 < len(arrs)
+                        else arrs[i] for i in range(0, len(arrs), 2)]
+            return arrs[0]
+
+        perBit = []
+        for k in range(h):
+            s0, s1 = subsets[k]
+            for d in (dx, dy):  # bit 2k is on I, bit 2k+1 on Q
+                m0 = tree_min([d[j] for j in s0])
+                m1 = tree_min([d[j] for j in s1])
+                perBit.append((m1 - m0) * inv)
+        llrs = jnp.stack(perBit, axis=-1)                          # (..., n, qm)
         return llrs.reshape(llrs.shape[:-2] + (-1,))
 
     def demodulate(self, symbols: jnp.ndarray, noise_var, use_max: bool = True) -> jnp.ndarray:

@@ -436,12 +436,32 @@ class PdschSlotPlan:
             g = jnp.broadcast_to(jnp.asarray(self.pilotGrid), lead + (P, L, K))
         else:
             g = baseGrid
-        gf = g.reshape(lead + (P * L * K,))
+        allSyms = []
         for cw in range(cfg.numCW):
             seq = jnp.asarray(self.scrambleSeq[cw].astype(bits[cw].dtype))
             scrambled = jnp.bitwise_xor(bits[cw], seq)
-            syms = cfg.modems[cw].modulate(scrambled)
-            gf = gf.at[..., jnp.asarray(self.flatIdxPerCW[cw])].set(syms)
+            allSyms.append(cfg.modems[cw].modulate(scrambled))
+        if baseGrid is None:
+            # TPU fast path: ONE gather from [data symbols | pilot grid] via a
+            # host-precomputed source map (scatters are a TPU slow path).
+            srcMap = getattr(self, "_populate_src_map", None)
+            if srcMap is None:
+                nSyms = [len(ix) for ix in self.flatIdxPerCW]
+                srcMap = np.arange(P * L * K, dtype=np.int32) + sum(nSyms)
+                off = 0
+                for cw in range(cfg.numCW):
+                    srcMap[self.flatIdxPerCW[cw]] = off + np.arange(
+                        nSyms[cw], dtype=np.int32)
+                    off += nSyms[cw]
+                self._populate_src_map = srcMap
+            pool = jnp.concatenate(
+                allSyms + [jnp.broadcast_to(
+                    jnp.asarray(self.pilotGrid.reshape(-1)), lead + (P * L * K,))],
+                axis=-1)
+            return pool[..., srcMap].reshape(lead + (P, L, K))
+        gf = g.reshape(lead + (P * L * K,))
+        for cw in range(cfg.numCW):
+            gf = gf.at[..., jnp.asarray(self.flatIdxPerCW[cw])].set(allSyms[cw])
         return gf.reshape(lead + (P, L, K))
 
     def extract_llrs(self, eqGrid: jnp.ndarray, llrScales: jnp.ndarray | None = None,
