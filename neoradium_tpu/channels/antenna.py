@@ -332,10 +332,14 @@ class _PatternMixin:
                  .reshape(n, -1) @ np.conj(fieldAll.reshape(n, -1)).T)
         dA = (step * np.pi / 180) ** 2
         if weights is not None:
-            # NOTE: parity with reference antenna.py:524-526, which uses w.T
-            # (no conjugate) in the quadratic form and takes the real part.
+            # Deviation: the reference (antenna.py:524-526) computes the
+            # radiated-power integral as w.svCov.w^T (no conjugate), which is
+            # not a Hermitian quadratic form and goes NEGATIVE for complex
+            # beamforming weights (e.g. conj-steering), clipping directivity
+            # to -120 dBi. Correct form is w.svCov.w^H; identical for the
+            # real weights the reference's notebooks use.
             w = np.asarray(weights).reshape(1, n)
-            integral = float((w @ svCov @ w.T)[0, 0].real) * dA
+            integral = float((w @ svCov @ np.conj(w).T)[0, 0].real) * dA
             elementsField = elementsField * np.asarray(weights).reshape(-1, 1, 1)
         else:
             integral = float(svCov.real.sum()) * dA
@@ -381,10 +385,28 @@ class _PatternMixin:
         return ax
 
 
-# attach the pattern-analysis API to panels and arrays
+# attach the pattern-analysis API to elements, panels, and arrays (the
+# reference exposes these on AntennaBase, antenna.py:51-735)
+def _element_elements(self, polarization=True):
+    return [self]
+
+
+def _element_positions(self):
+    return np.zeros((1, 3))
+
+
+def _element_num(self):
+    return 1
+
+
+AntennaElement.elements = _element_elements
+AntennaElement.positions = _element_positions
+AntennaElement.getNumElements = _element_num
+
 for _name in ("getSteeringVector", "_element_polarized", "getPolarizedFields",
               "getField", "getPowerPattern", "getFieldPattern", "getMaxDim",
               "getIntegralAngleStep", "getDirectivity", "drawRadiation"):
+    setattr(AntennaElement, _name, getattr(_PatternMixin, _name))
     setattr(AntennaPanel, _name, getattr(_PatternMixin, _name))
     setattr(AntennaArray, _name, getattr(_PatternMixin, _name))
 

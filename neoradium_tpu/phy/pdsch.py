@@ -129,6 +129,7 @@ class PdschConfig:
                 default = range(6)
             self.symSet = np.sort(np.asarray(kwargs.get("symSet", list(default)),
                                              np.int32))
+        self.csiRsConfig = kwargs.get("csiRsConfig", None)
         self.prbSet = np.sort(np.asarray(
             kwargs.get("prbSet", list(range(carrier.numRbs))), np.int32))
         if self.prbSet[-1] > carrier.numRbs or self.prbSet[0] < 0:
@@ -215,6 +216,11 @@ class PdschConfig:
 
     def plan(self, slotNo: int = 0) -> "PdschSlotPlan":
         key = self.carrier.slotNoInFrame(slotNo)
+        if self.csiRsConfig is not None:
+            key = (key,) + tuple(
+                (slotNo - r.offset) % st.period
+                for st in self.csiRsConfig.csiRsSetList
+                for r in st.csiRsList)
         # Reserved patterns may have periodicity beyond a frame; include slot
         # pattern phase in the key.
         for rset in self.reservedRbSets:
@@ -357,13 +363,23 @@ class PdschSlotPlan:
                     res = pm[0] if len(pm) == 1 else pm[l]
                     for k in res:
                         hg.set(p, l, k, 0, "RESERVED")
-        # 3) DMRS pilots + NO_DATA (+ PTRS copying first-DMRS-symbol values)
+        # 3) CSI-RS: NZP pilot values on its ports (when they fit the grid)
+        # and CSIRS_* marking on ALL ports so data allocation skips those REs
+        # on every layer (reference csirs.py:376-482, pdsch.py:839-852; equal
+        # per-layer RE counts keep the layer mapping round-robin aligned).
+        if cfg.csiRsConfig is not None:
+            if cfg.csiRsConfig.numPorts <= P:
+                cfg.csiRsConfig.populate_host_grid(hg, slotNo)
+            cfg.csiRsConfig.reserve_host_grid(hg, slotNo)
+
+        # 4) DMRS pilots + NO_DATA (+ PTRS copying first-DMRS-symbol values)
         if cfg.dmrs is not None:
             vals, noData = cfg.dmrs.pilot_values(
                 car, slotNo, cfg.portSet, cfg.mappingType, cfg.symSet, slotMap)
             for p, l, ks, vs in vals:
                 for k, v in zip(ks, vs):
-                    if hg.re_type_at(p, l, k) == "RESERVED":
+                    if hg.re_type_at(p, l, k) in ("RESERVED", "CSIRS_ZP",
+                                                  "CSIRS_NZP"):
                         continue
                     hg.set(p, l, int(k), v, "DMRS")
             for p, l, k in noData:
@@ -376,7 +392,7 @@ class PdschSlotPlan:
                         continue
                     hg.set(p, l, k, v, "PTRS")
 
-        # 4) PDSCH data REs, in the reference allocation order (pdsch.py:839-852)
+        # 5) PDSCH data REs, in the reference allocation order (pdsch.py:839-852)
         skip = {RET[n] for n in ("DMRS", "CSIRS_ZP", "CSIRS_NZP", "RESERVED",
                                  "PTRS", "NO_DATA")}
         idx = []
@@ -395,7 +411,7 @@ class PdschSlotPlan:
         self.reTypeIds = hg.reTypeIds
         self.pilotGrid = hg.grid.astype(np.complex64)       # DMRS values, 0 elsewhere
 
-        # 5) layer mapping -> per-codeword flat gather/scatter indices
+        # 6) layer mapping -> per-codeword flat gather/scatter indices
         flat = (di[0] * L + di[1]) * K + di[2]
         numAll = flat.shape[0]
         layerStarts = np.append([0], np.where(np.diff(di[0]) == 1)[0] + 1)
@@ -415,7 +431,7 @@ class PdschSlotPlan:
             order = (starts[None, :] + np.arange(n)[:, None]).reshape(-1)[: reCounts[cw]]
             self.flatIdxPerCW.append(flat[order].astype(np.int32))
 
-        # 6) scrambling sequences (constant per config)
+        # 7) scrambling sequences (constant per config)
         self.scrambleSeq = []
         for q in range(cfg.numCW):
             cInit = cfg.rnti * (1 << 15) + q * (1 << 14) + cfg.nID

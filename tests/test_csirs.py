@@ -89,3 +89,41 @@ def test_validation_errors():
         CsiRsSet("XX", car)
     with pytest.raises(ValueError):
         CsiRsSet("NZP", car, period=7)
+
+
+def test_pdsch_plan_skips_csirs_res():
+    """PDSCH data allocation must avoid CSI-RS REs on every layer, keeping
+    per-layer RE counts equal (reference pdsch.py:839-852 + csirs.py:447)."""
+    from neoradium_tpu.carrier import CarrierConfig
+    from neoradium_tpu.phy.pdsch import PdschConfig
+    from neoradium_tpu.phy.csirs import CsiRsConfig
+    from neoradium_tpu.grid import RET
+
+    car = CarrierConfig(numRbs=12, spacing=30)
+    csirs = CsiRsConfig(carrier=car, numPorts=4, period=4, offset=0)
+    p0 = PdschConfig(car, numLayers=2, modulation="QPSK")
+    p0.setDMRS(configType=2, additionalPos=1)
+    p1 = PdschConfig(car, numLayers=2, modulation="QPSK", csiRsConfig=csirs)
+    p1.setDMRS(configType=2, additionalPos=1)
+
+    planActive = p1.plan(0)           # CSI-RS present in slot 0 (period 4)
+    planGap = p1.plan(1)              # no CSI-RS in slot 1
+    planNone = p0.plan(1)
+
+    csirsRes = {(l, k) for _, l, k, _ in csirs.entries(0)}
+    assert csirsRes, "fixture should place CSI-RS in slot 0"
+    dataActive = set(zip(planActive.dataIndices[1].tolist(),
+                         planActive.dataIndices[2].tolist()))
+    assert not (dataActive & csirsRes)
+    # CSI-RS REs marked on ALL ports
+    for (l, k) in csirsRes:
+        assert all(planActive.reTypeIds[p, l, k]
+                   in (RET["CSIRS_NZP"], RET["CSIRS_ZP"])
+                   for p in range(2))
+    # equal REs per layer (layer mapping alignment)
+    ports = planActive.dataIndices[0]
+    counts = np.bincount(ports)
+    assert counts.min() == counts.max()
+    # slot without CSI-RS matches the no-CSI-RS config exactly
+    assert planGap.bitSizes == planNone.bitSizes
+    assert planActive.bitSizes[0] < planGap.bitSizes[0]
