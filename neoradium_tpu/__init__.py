@@ -28,7 +28,7 @@ from .random import PRNG, RanGen, random
 from .waveform import Waveform, estimate_timing_offset
 from .grid import (HostGrid, precode, apply_channel_freq,
                    noise_std_for_grid_snr, noise_std_for_waveform_snr,
-                   grid_re_power, grid_noise_std)
+                   grid_re_power, grid_noise_std, retRegister)
 from .phy.pdsch import PdschConfig, ReservedRbSet
 from .phy.dmrs import DmrsConfig, PtrsConfig
 from .phy.csirs import CsiRs, CsiRsSet, CsiRsConfig

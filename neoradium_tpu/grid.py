@@ -22,7 +22,37 @@ from .utils import toLinear
 RE_TYPES = ["UNASSIGNED", "RESERVED", "NO_DATA", "DMRS", "PTRS", "CSIRS_NZP",
             "CSIRS_ZP", "DATA", "PDSCH", "PDCCH", "PUSCH", "PUCCH",
             "PRECODED_MIX", "RX_DATA"]
+_MAX_CUSTOM_RE_TYPES = 20  # reference grid.py:257-268 reserves 20 custom slots
+# 14 built-in + 20 custom-slot colors for drawMap
+_RET_COLORS = ["#d0d0d0", "#404040", "#a0a0a0", "#2b8cbe", "#88419d",
+               "#e34a33", "#fdbb84", "#31a354", "#238b45", "#636363",
+               "#969696", "#bdbdbd", "#fec44f", "#c994c7",
+               "#1b9e77", "#d95f02", "#7570b3", "#e7298a", "#66a61e",
+               "#e6ab02", "#a6761d", "#666666", "#8dd3c7", "#ffffb3",
+               "#bebada", "#fb8072", "#80b1d3", "#fdb462", "#b3de69",
+               "#fccde5", "#d9d9d9", "#bc80bd", "#ccebc5", "#ffed6f"]
 RET = {name: i for i, name in enumerate(RE_TYPES)}
+
+
+def retRegister(name: str) -> int:
+    """Register a custom RE content type and return its id.
+
+    Mirrors the reference's ``Grid.retRegister`` (grid.py:257-268): user code
+    can tag REs with application-defined types (e.g. "SSB", "PDCCH_DMRS") in
+    up to 20 extra slots beyond the built-in registry. Registration is
+    idempotent: re-registering an existing name returns its existing id.
+    """
+    name = str(name).upper()
+    if name in RET:
+        return RET[name]
+    if len(RE_TYPES) >= len(_RET_COLORS):
+        raise ValueError(f"RE-type registry full "
+                         f"({len(RE_TYPES) - 14}/{_MAX_CUSTOM_RE_TYPES} "
+                         f"custom types registered)")
+    RE_TYPES.append(name)
+    rid = len(RE_TYPES) - 1
+    RET[name] = rid
+    return rid
 
 
 class HostGrid:
@@ -62,9 +92,7 @@ class HostGrid:
         import matplotlib.patches as mpatches
         from matplotlib.colors import ListedColormap
         k0, k1 = reRange
-        colors = ["#d0d0d0", "#404040", "#a0a0a0", "#2b8cbe", "#88419d",
-                  "#e34a33", "#fdbb84", "#31a354", "#238b45", "#636363",
-                  "#969696", "#bdbdbd", "#fec44f", "#c994c7"]
+        colors = _RET_COLORS
         cmap = ListedColormap(colors[: len(RE_TYPES)])
         axes = []
         for p in ports:

@@ -100,6 +100,19 @@ def test_grid_draw_map():
     assert ax is not None
 
 
+def test_ret_register_custom_types():
+    # reference grid.py:257-268: up to 20 user-defined RE types
+    from neoradium_tpu.grid import retRegister, RET, RE_TYPES
+    rid = retRegister("SSB")
+    assert RE_TYPES[rid] == "SSB" and RET["SSB"] == rid
+    assert retRegister("ssb") == rid            # idempotent, case-folded
+    hg = HostGrid(1, 14, 48)
+    hg.set(0, 2, 5, 1 + 1j, "SSB")
+    assert hg.re_type_at(0, 2, 5) == "SSB"
+    assert hg.stats().get("SSB") == 1
+    assert retRegister("PDSCH") == RET["PDSCH"]  # built-ins unchanged
+
+
 def test_cdl_chan_gen_reproducible():
     car = CarrierConfig(numRbs=4, spacing=30)
     kw = dict(profiles="AC", seed=11)
