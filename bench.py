@@ -45,14 +45,18 @@ def main():
     # compile (excluded from timing)
     jax.block_until_ready(point_fn(keys, snr))
 
-    # min over reps: robust to axon-tunnel latency jitter
-    reps, times = 5, []
+    # Sustained throughput: enqueue `pipeline` async dispatches back-to-back
+    # and sync once, so the ~25 ms axon-tunnel round-trip amortizes across
+    # the batch instead of taxing every rep. min over outer reps is robust
+    # to tunnel latency jitter.
+    pipeline, reps, times = 4, 4, []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = point_fn(keys, snr)
-        float(out["bitErrors"].sum())   # force full execution + host sync
+        outs = [point_fn(keys, snr) for _ in range(pipeline)]
+        for o in outs:
+            float(o["bitErrors"].sum())   # force full execution + host sync
         times.append(time.perf_counter() - t0)
-    slots_per_s = batch / min(times)
+    slots_per_s = pipeline * batch / min(times)
 
     print(json.dumps({
         "metric": "pdsch_e2e_slots_per_s",
