@@ -55,6 +55,10 @@ class CarrierConfig:
         object.__setattr__(self, "cpType", self.cpType.lower())
         if self.cpType not in ("normal", "extended"):
             raise ValueError("cpType must be 'normal' or 'extended'")
+        # TS 38.211 §4.2 / reference carrier.py:128-145: extended CP is only
+        # defined for the 60 kHz subcarrier spacing (u=2).
+        if self.cpType == "extended" and _SCS_LIST[u] != 60:
+            raise ValueError("Extended CP is only supported for 60 kHz spacing")
         object.__setattr__(self, "_u", u)
         if self.numRbs >= self.nFFT // 12:
             raise ValueError(f"numRbs must be < nFFT/12 (= {self.nFFT // 12})")

@@ -301,7 +301,9 @@ class LdpcEncoder:
             ci, idx = _gather_info(self, cols, shifts)
             sub = x[..., ci, :]
             g = jnp.take_along_axis(sub, jnp.broadcast_to(idx, sub.shape), axis=-1)
-            return jnp.sum(g, axis=-2) % 2
+            # keep int32: under x64 jnp.sum promotes to int64, which would make
+            # the .at[].set scatter below a lossy cast (FutureWarning → error)
+            return (jnp.sum(g, axis=-2) % 2).astype(jnp.int32)
 
         s = [shift_sum(*self._row_info[i]) for i in range(4)]
         total = (s[0] + s[1] + s[2] + s[3]) % 2
@@ -450,7 +452,8 @@ class LdpcDecoder:
                 ll = lls[li]
                 sub = [jnp.roll(rcols[ci], -s, axis=-1) - ll[j]
                        for j, (ci, s) in enumerate(zip(cols, shifts))]
-                sign = [jnp.where(s_ < 0, -1.0, 1.0) for s_ in sub]
+                one = jnp.ones((), rx.dtype)
+                sign = [jnp.where(s_ < 0, -one, one) for s_ in sub]
                 mag = [jnp.abs(s_) for s_ in sub]
                 parity = sign[0]
                 for s_ in sign[1:]:
@@ -505,7 +508,10 @@ class LdpcDecoder:
                 r_sub = r[..., ci, :] - ll[..., sl, :]
                 shifted = jnp.take_along_axis(
                     r_sub, jnp.broadcast_to(fwd, r_sub.shape), axis=-1)
-                sign = jnp.where(shifted < 0, -1.0, 1.0)
+                # branches must be typed: two weak Python floats give f64
+                # under x64, poisoning the .at[].set scatters below
+                one = jnp.ones((), shifted.dtype)
+                sign = jnp.where(shifted < 0, -one, one)
                 parity = jnp.prod(sign, axis=-2, keepdims=True)
                 mag = jnp.abs(shifted)
                 min1 = jnp.min(mag, axis=-2, keepdims=True)

@@ -132,8 +132,8 @@ class PdschConfig:
         self.csiRsConfig = kwargs.get("csiRsConfig", None)
         self.prbSet = np.sort(np.asarray(
             kwargs.get("prbSet", list(range(carrier.numRbs))), np.int32))
-        if self.prbSet[-1] > carrier.numRbs or self.prbSet[0] < 0:
-            raise ValueError(f"prbSet values must be in [0..{carrier.numRbs}]")
+        if self.prbSet[-1] >= carrier.numRbs or self.prbSet[0] < 0:
+            raise ValueError(f"prbSet values must be in [0..{carrier.numRbs - 1}]")
 
         # TS 38.214 Table 5.1.2.1-1 validity
         s, l, m = int(self.symSet[0]), len(self.symSet), carrier.symbolsPerSlot

@@ -173,7 +173,8 @@ class PdschHarqSim:
                 nextTry = jnp.where(ok | timeout, 0, curTry + 1)
                 newCarry[f"payload{q}"] = carry[f"payload{q}"].at[proc].set(
                     payloads[q])
-                newCarry[f"softBuf{q}"] = carry[f"softBuf{q}"].at[proc].set(buf)
+                newCarry[f"softBuf{q}"] = carry[f"softBuf{q}"].at[proc].set(
+                    buf.astype(jnp.float32))
                 newCarry[f"curTry{q}"] = carry[f"curTry{q}"].at[proc].set(nextTry)
                 bitErr += jnp.sum(merged[..., : self.tbs[q]] != payloads[q],
                                   dtype=jnp.int32)

@@ -3,8 +3,8 @@
 Functional parity with the reference's ``neoradium/utils.py`` (dB/linear
 conversion, MSE/NMSE metrics, hermitian transpose) plus JAX-native batched
 linear interpolation used by the channel estimator (the reference defaults to
-SciPy ``interp1d(kind='linear')`` — ``utils.py:29``; RBF kernels are
-host-side fallbacks, see ``rx/chanest.py``).
+SciPy ``interp1d(kind='linear')`` — ``utils.py:29``; RBF kernels become
+static device matmuls, see ``rx/chest.py``).
 """
 from __future__ import annotations
 

@@ -118,6 +118,11 @@ def test_carrier_validation():
         CarrierConfig(numRbs=2000, spacing=15)
     with pytest.raises(ValueError):
         CarrierConfig(numRbs=25, spacing=30, cpType="bogus")
+    # extended CP is only defined for 60 kHz (TS 38.211 §4.2)
+    with pytest.raises(ValueError):
+        CarrierConfig(numRbs=25, spacing=30, cpType="extended")
+    with pytest.raises(ValueError):
+        CarrierConfig(numRbs=25, spacing=15, cpType="extended")
 
 
 # ---------------------------------------------------------------- OFDM

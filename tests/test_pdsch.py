@@ -87,3 +87,7 @@ def test_pdsch_validation_errors():
         PdschConfig(car, prgSize=3)
     with pytest.raises(ValueError):
         PdschConfig(car, interleavingBundleSize=5)
+    # prbSet entries are 0-based PRB indices: numRbs itself is out of range
+    with pytest.raises(ValueError):
+        PdschConfig(car, prbSet=list(range(20, 26)))
+    PdschConfig(car, prbSet=list(range(20, 25)))  # 24 == numRbs-1 is valid
