@@ -178,20 +178,34 @@ class ChannelBase:
             g = g / np.sqrt(toLinear(self.pathPowers).sum())
         return g
 
-    def cir(self, gains):
+    def cir(self, gains, cm=None):
         """gains (nc[+1], nr, nt, pp) -> CIR (nc, nr, nt, coeffLen) + offset."""
-        cm = jnp.asarray(self.coeffMatrix, dtype=gains.real.dtype)
+        if cm is None:
+            cm = jnp.asarray(self.coeffMatrix, dtype=gains.real.dtype)
         c = jnp.einsum("crtp,pl->crtl", gains, cm.astype(gains.dtype))
         offset = jnp.argmax(jnp.sum(jnp.abs(jnp.sum(c, axis=(0, 2))), axis=0))
         return c, offset
+
+    # --------------------------------------------------------------- hooks
+    # Derived models with per-slot path sets (TrjChannel) override these two;
+    # stochastic models (CDL/TDL) use the static coefficient matrix and gains
+    # that depend only on the evaluation times.
+    def slot_gains(self, state, slotNo):
+        """Normalized (nc+1, nr, nt, pp) gains for one slot (slotNo may be
+        traced)."""
+        return self.channel_gains(state, self.gain_times(slotNo))
+
+    def slot_cm(self, slotNo):
+        """(pp, coeffLen) fractional-delay coefficient rows for one slot."""
+        return self.coeffMatrix
 
     # ------------------------------------------------------------- outputs
     def channel_matrix(self, state, slotNo=0):
         """(L, K, nr, nt) frequency-domain channel for one slot.
 
         ``slotNo`` may be traced (see :meth:`gain_times`)."""
-        gains1 = self.channel_gains(state, self.gain_times(slotNo))
-        c, offset = self.cir(gains1[:-1])
+        gains1 = self.slot_gains(state, slotNo)
+        c, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
         nFFT = self.carrier.nFFT
         nc, nr, nt, cl = c.shape
         K = self.carrier.numSubcarriers
@@ -221,9 +235,9 @@ class ChannelBase:
         gain mix (reference applyToSignal:403-448). ``slotNo`` must be a host
         int here (the per-sample symbol map is a static gather).
         """
-        gains1 = self.channel_gains(state, self.gain_times(slotNo))  # (nc+1, nr, nt, pp)
+        gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
         ns = waveform.shape[-1]
-        cm = self.coeffMatrix
+        cm = self.slot_cm(slotNo)
         pp, cl = cm.shape
         nfft = int(2 ** np.ceil(np.log2(ns + cl)))
         X = jnp.fft.fft(waveform, nfft, axis=-1)               # (..., nt, nfft)
@@ -239,6 +253,6 @@ class ChannelBase:
         return out
 
     def timing_offset(self, state, slotNo=0):
-        gains1 = self.channel_gains(state, self.gain_times(slotNo))
-        _, offset = self.cir(gains1[:-1])
+        gains1 = self.slot_gains(state, slotNo)
+        _, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
         return offset

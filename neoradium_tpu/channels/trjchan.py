@@ -1,12 +1,17 @@
 """Trajectory (ray-tracing) channel — TR 38.901 §8.
 
 TPU design: the trajectory is deterministic, so the entire per-point channel
-description (delays -> per-point FIR coefficient matrices, angles/powers/
-phases padded to the trajectory's maxPaths) is flattened host-side into
-static arrays indexed by slot number; the gain evaluation (TR 38.901
-Eqs. 7.5-28/29 with geometric Doppler r_hat . v / lambda) is the same
-antenna-field einsum pipeline as the CDL channel. Zero-power padding keeps
-ragged path counts (SURVEY.md §7 hard parts) out of the jitted shapes.
+description is flattened host-side ONCE into static zero-padded stacks over
+(numPoints, maxPaths): angles/phases/amplitudes/LOS flags/speeds plus the
+per-point fractional-delay FIR coefficient rows (padded to one global
+coefficient length). The jitted path is then pure gathers + the same
+antenna-field einsum pipeline as the CDL channel: ``channel_matrix`` /
+``timing_offset`` accept a *traced* slot number (so a whole trajectory can be
+``vmap``-ed over slots or scanned inside one jit), and ``apply_to_signal``
+jits with a static slot number like :class:`ChannelBase`. Zero-power padding
+keeps ragged path counts (SURVEY.md §7 hard parts) out of the jitted shapes;
+a totally-blocked point (no paths) yields an all-zero channel through the
+same code path.
 
 Behavioral parity: reference ``neoradium/trjchan.py`` — TrjChannel
 parameters (trjchan.py:629-733), LOS gains Eq. 7.5-29 with ray-traced phase
@@ -24,6 +29,7 @@ we convert both to radians.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base import ChannelBase, coeff_matrix
@@ -50,179 +56,156 @@ class TrjChannel(ChannelBase):
         self.normalizeDelays = kwargs.get("normalizeDelays", True)
         self._txSpec = antenna_spec(self.txAntenna)
         self._rxSpec = antenna_spec(self.rxAntenna)
-        self._coeff_cache = {}
+        self._plan = None               # lazy static per-point device stacks
 
     @property
     def nrNt(self):
         return (self.rxAntenna.getNumElements(), self.txAntenna.getNumElements())
 
-    # ------------------------------------------------------------- per-point
-    def _point(self, slotNo: int):
-        if slotNo >= self.trajectory.numPoints:
-            raise ValueError("Reached end of trajectory!")
-        return self.trajectory[slotNo]
+    # ------------------------------------------------------- host plan build
+    def _device_plan(self) -> dict:
+        """Static per-point stacks, built once host-side (NumPy) and cached.
 
-    def point_delays(self, slotNo: int) -> np.ndarray:
-        p = self._point(slotNo)
-        d = p.delays
-        if self.normalizeDelays and len(d):
-            d = d - d[0]
-        return d
+        Shapes: N = numPoints, P = max(maxPaths, 1), Lc = global coeff len.
+        Path lane order matches TrjPoint.pathInfo (LOS first when present);
+        unused lanes have zero amplitude and zero FIR rows.
+        """
+        if self._plan is not None:
+            return self._plan
+        traj = self.trajectory
+        N = traj.numPoints
+        P = max(traj.maxPaths, 1)
+        fl = self.filterLen
+        angles = np.zeros((N, P, 4))                 # aoa, zoa, aod, zod (rad)
+        phases = np.zeros((N, P))                    # initial phases (rad)
+        amps = np.zeros((N, P))                      # sqrt(linear power)
+        losFlag = np.zeros((N, P), bool)
+        speeds = np.zeros((N, 3))
+        scale = np.ones(N)                           # normalization multiplier
+        cms, maxDelays = [], np.zeros(N, np.int64)
+        for i, p in enumerate(traj.points):
+            n = p.numPaths
+            speeds[i] = p.speed
+            if n == 0:
+                cms.append(np.zeros((0, fl)))
+                scale[i] = 0.0
+                maxDelays[i] = fl // 2
+                continue
+            angles[i, :n] = toRadian(
+                np.stack([p.aoas, p.zoas, p.aods, p.zods], axis=-1))
+            phases[i, :n] = toRadian(p.phases)
+            amps[i, :n] = np.sqrt(toLinear(p.powers))
+            losFlag[i, 0] = p.hasLos == 1
+            d = p.delays - (p.delays[0] if self.normalizeDelays else 0.0)
+            cm, fd = coeff_matrix(d, self.sampleRate, self.firs, fl,
+                                  self.delayQuantSize)
+            cms.append(cm)
+            maxDelays[i] = int(np.ceil(d.max() * self.sampleRate / 1e9 + fd))
+            if self.normalizeOutput:
+                scale[i] /= np.sqrt(self.nrNt[0])
+            if self.normalizeGains:
+                scale[i] /= np.sqrt(toLinear(p.powers).sum())
+        Lc = max(max((cm.shape[1] for cm in cms), default=fl), fl)
+        cmStack = np.zeros((N, P, Lc))
+        for i, cm in enumerate(cms):
+            cmStack[i, : cm.shape[0], : cm.shape[1]] = cm
+        # NumPy (host) arrays on purpose: they may first be touched inside a
+        # jit trace, where jnp conversion would capture leaked tracers; as
+        # np constants they fold into whichever jit consumes them.
+        self._plan = dict(angles=angles, phases=phases, amps=amps,
+                          losFlag=losFlag, speeds=speeds, scale=scale,
+                          cmStack=cmStack, maxDelays=maxDelays, numPaths=P)
+        return self._plan
 
-    def _point_coeffs(self, slotNo: int):
-        key = tuple(np.round(self.point_delays(slotNo), 6))
-        if key not in self._coeff_cache:
-            self._coeff_cache[key] = coeff_matrix(
-                np.asarray(key), self.sampleRate, self.firs,
-                self.filterLen, self.delayQuantSize)
-        return self._coeff_cache[key]
+    def _check_slot(self, slotNo):
+        """End-of-trajectory error for host slot numbers (reference
+        prepareForNextSlot trjchan.py:846-850); traced slots are clipped."""
+        if isinstance(slotNo, (int, np.integer)):
+            if slotNo >= self.trajectory.numPoints:
+                raise ValueError("Reached end of trajectory!")
+            return slotNo
+        return jnp.clip(slotNo, 0, self.trajectory.numPoints - 1)
 
     def getMaxDelay(self, slotNo: int = None) -> int:
+        """Max channel delay in samples; trajectory-wide max when slotNo is
+        None (use it to pad once for a whole scanned/vmapped trajectory)."""
+        md = self._device_plan()["maxDelays"]
         if slotNo is None:
-            slotNo = self.trajectory.curIdx
-        d = self.point_delays(slotNo)
-        if len(d) == 0:
-            return self.filterLen // 2
-        cm, fd = self._point_coeffs(slotNo)
-        return int(np.ceil(d.max() * self.sampleRate / 1e9 + fd))
+            return int(md.max())
+        return int(md[int(slotNo)])
 
-    # --------------------------------------------------------------- gains
-    def _doppler(self, theta, phi, speed, tSamples):
-        rHat = np.stack([np.sin(theta) * np.cos(phi),
-                         np.sin(theta) * np.sin(phi), np.cos(theta)])
-        shift = np.einsum("i...,i->...", rHat, speed) * self.carrierFreq / _C
-        t = np.asarray(tSamples) / self.sampleRate
-        return np.exp(2j * np.pi * t.reshape((-1,) + (1,) * shift.ndim) * shift)
-
-    def point_gains(self, slotNo: int, tSamples) -> np.ndarray:
-        """(nc, nr, nt, numPaths) gains for one trajectory point; None if the
-        point has total blockage (reference getPathGains:852-874)."""
-        p = self._point(slotNo)
-        nr, nt = self.nrNt
-        parts = []
-        if p.hasLos == 1:
-            phiA, thetaA, phiD, thetaD = (
-                toRadian([p.losAoa, p.losZoa, p.losAod, p.losZod])[:, None, None])
-            fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD,
-                                             self.txOrientation)
-            fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA,
-                                             self.rxOrientation)
-            polMat = (np.exp(1j * toRadian(p.losPhase))
-                      * np.asarray([[1.0, 0.0], [0.0, -1.0]]))
-            h = np.einsum("ra,ab,tb->rt", np.asarray(fieldRx)[..., 0, 0],
-                          polMat, np.asarray(fieldTx)[..., 0, 0])
-            h = h * np.asarray(locRx)[:, None, 0, 0] * np.asarray(locTx)[None, :, 0, 0]
-            dop = self._doppler(thetaA, phiA, p.speed, tSamples)[:, 0, 0]
-            h = h[None] * dop[:, None, None] * np.sqrt(toLinear(p.losPower))
-            parts.append(h[..., None])
-        if p.numNlosPaths > 0:
-            phiA, thetaA, phiD, thetaD = (
-                toRadian([p.nlosAoas, p.nlosZoas, p.nlosAods, p.nlosZods])[:, :, None])
-            fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD,
-                                             self.txOrientation)
-            fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA,
-                                             self.rxOrientation)
-            fieldTx = np.asarray(fieldTx)[..., 0]     # (nt, 2, n)
-            fieldRx = np.asarray(fieldRx)[..., 0]
-            locTx = np.asarray(locTx)[..., 0]         # (nt, n)
-            locRx = np.asarray(locRx)[..., 0]
-            kappa = toLinear(self.xPolPower)
-            polMat = (np.exp(1j * toRadian(p.nlosPhases))[None, None, :]
-                      * np.sqrt(np.asarray([[1, 1 / kappa],
-                                            [1 / kappa, 1]]))[:, :, None])
-            h = np.einsum("ran,abn,tbn->rtn", fieldRx.astype(complex),
-                          polMat, fieldTx.astype(complex))
-            h = h * locRx[:, None, :] * locTx[None, :, :]
-            dop = self._doppler(thetaA, phiA, p.speed, tSamples)[..., 0]  # (nc, n)
-            h = h[None] * dop[:, None, None, :]
-            h = h * np.sqrt(toLinear(p.nlosPowers))[None, None, None, :]
-            parts.append(h)
-        if not parts:
-            return None
-        return np.concatenate(parts, axis=-1)
-
-    # -------------------------------------------------- ChannelBase plumbing
-    def channel_gains_point(self, slotNo, tSamples):
-        """Normalized (reference getChannelGains semantics) per-point gains."""
-        g = self.point_gains(slotNo, tSamples)
-        if g is None:
-            return None
-        if self.normalizeOutput:
-            g = g / np.sqrt(self.nrNt[0])
-        if self.normalizeGains:
-            g = g / np.sqrt(toLinear(self._point(slotNo).powers).sum())
-        return g
-
-    def channel_matrix(self, state=None, slotNo: int = 0):
-        """(L, K, nr, nt) for the trajectory point at ``slotNo``.
-
-        Uses absolute slot sample times so Doppler phase is continuous
-        across slots (the trajectory's own sampleNo timing governs speed)."""
+    # ------------------------------------------------------------- gains
+    def slot_gains(self, state, slotNo):
+        """(nc+1, nr, nt, P) normalized gains at the gain times of ``slotNo``
+        (traced or host int). LOS lanes use the specular polarization matrix
+        (Eq. 7.5-29), NLOS lanes the shared-XPR matrix (Eq. 7.5-28); padding
+        lanes have zero amplitude."""
+        plan = self._device_plan()
+        slotNo = self._check_slot(slotNo)
         tS = self.gain_times(slotNo)
-        gains = self.channel_gains_point(slotNo, tS)
-        nFFT = self.carrier.nFFT
-        K = self.carrier.numSubcarriers
-        L = self.carrier.symbolsPerSlot
-        nr, nt = self.nrNt
-        if gains is None:
-            return jnp.zeros((L, K, nr, nt), jnp.complex64)
-        cm, _ = self._point_coeffs(slotNo)
-        c = np.einsum("crtp,pl->crtl", gains[:-1], cm)
-        offset = int(np.argmax(np.sum(np.abs(c.sum(axis=(0, 2))), axis=0)))
-        buf = np.zeros(c.shape[:-1] + (nFFT,), complex)
-        buf[..., :c.shape[-1]] = c
-        buf = np.roll(buf, -offset, axis=-1)
-        h = np.fft.fft(buf, axis=-1)
-        idx = np.concatenate([np.arange(K // 2) + nFFT - K // 2,
-                              np.arange(K // 2)])
-        return jnp.asarray(np.transpose(h[..., idx], (0, 3, 1, 2)))
+        ang = jnp.asarray(plan["angles"])[slotNo]        # (P, 4)
+        phiA, thetaA, phiD, thetaD = (ang[:, 0], ang[:, 1], ang[:, 2],
+                                      ang[:, 3])
+        fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD,
+                                         self.txOrientation)   # (nt,2,P),(nt,P)
+        fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA,
+                                         self.rxOrientation)
+        kappa = toLinear(self.xPolPower)
+        losM = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+        nlosM = jnp.sqrt(jnp.asarray([[1.0, 1.0 / kappa],
+                                      [1.0 / kappa, 1.0]]))
+        pol = jnp.where(jnp.asarray(plan["losFlag"])[slotNo][None, None, :],
+                        losM[:, :, None], nlosM[:, :, None])
+        pol = pol * jnp.exp(1j * jnp.asarray(plan["phases"])[slotNo])[None, None, :]
+        h = jnp.einsum("ran,abn,tbn->rtn", fieldRx.astype(pol.dtype), pol,
+                       fieldTx.astype(pol.dtype))
+        h = h * locRx[:, None, :] * locTx[None, :, :]
+        # geometric Doppler: e^{j 2 pi t (rHat . v) f / c}
+        rHat = jnp.stack([jnp.sin(thetaA) * jnp.cos(phiA),
+                          jnp.sin(thetaA) * jnp.sin(phiA),
+                          jnp.cos(thetaA)])              # (3, P)
+        shift = (jnp.einsum("ip,i->p", rHat, jnp.asarray(plan["speeds"])[slotNo])
+                 * (self.carrierFreq / _C))
+        t = jnp.asarray(tS) / self.sampleRate            # (nc+1,)
+        dop = jnp.exp(2j * jnp.pi * t[:, None] * shift[None, :])
+        g = h[None] * dop[:, None, None, :] * jnp.asarray(plan["amps"])[slotNo][None, None,
+                                                                   None, :]
+        return g * jnp.asarray(plan["scale"])[slotNo]
+
+    def slot_cm(self, slotNo):
+        plan = self._device_plan()
+        return jnp.asarray(plan["cmStack"])[self._check_slot(slotNo)]
+
+    # ChannelBase.channel_matrix / apply_to_signal / timing_offset now work
+    # unchanged through the slot_gains/slot_cm hooks, but keep the trajectory
+    # signature (no state argument needed — the channel is deterministic).
+    def channel_matrix(self, state=None, slotNo: int = 0):
+        return super().channel_matrix(state, slotNo)
 
     def apply_to_signal(self, waveform, state=None, slotNo: int = 0):
-        gains = self.channel_gains_point(slotNo, self.gain_times(slotNo))
-        ns = waveform.shape[-1]
-        nr, nt = self.nrNt
-        if gains is None:
-            return jnp.zeros(waveform.shape[:-2] + (nr, ns), jnp.complex64)
-        cm, _ = self._point_coeffs(slotNo)
-        pp, cl = cm.shape
-        nfft = int(2 ** np.ceil(np.log2(ns + cl)))
-        X = jnp.fft.fft(jnp.asarray(waveform), nfft, axis=-1)
-        C = jnp.fft.fft(jnp.asarray(cm), nfft, axis=-1)
-        y = jnp.fft.ifft(X[..., None, :, :] * C[:, None, :], axis=-1)[..., :ns]
-        symLens = self.sym_lens(slotNo)
-        symIdx = np.repeat(np.arange(len(symLens)), symLens)[:ns]
-        if ns > symLens.sum():
-            symIdx = np.append(symIdx, np.full(ns - symLens.sum(),
-                                               len(symLens) - 1))
-        gps = jnp.asarray(gains)[jnp.asarray(symIdx)]
-        return jnp.einsum("srtp,...pts->...rs", gps, y)
+        return super().apply_to_signal(waveform, state, slotNo)
 
     def timing_offset(self, state=None, slotNo: int = 0):
-        gains = self.channel_gains_point(slotNo, self.gain_times(slotNo))
-        if gains is None:
-            return 0
-        cm, _ = self._point_coeffs(slotNo)
-        c = np.einsum("crtp,pl->crtl", gains[:-1], cm)
-        return int(np.argmax(np.sum(np.abs(c.sum(axis=(0, 2))), axis=0)))
+        return super().timing_offset(state, slotNo)
 
     # ------------------------------------------------------------- datasets
     def chan_seq_gen(self, seqPeriod: int = 1, seqLen: int = 10,
                      maxNumSeq: float = np.inf):
-        """Generator of channel-matrix sequences (reference getChanSeqGen)."""
+        """Generator of channel-matrix sequences (reference getChanSeqGen).
+
+        Device path: the whole sequence is one ``jit(vmap(channel_matrix))``
+        over its slot numbers."""
+        batched = jax.jit(jax.vmap(lambda s: self.channel_matrix(slotNo=s)))
         n = 0
         slot = 0
         while n < maxNumSeq:
-            seq = []
-            ok = True
+            slots = []
             for _ in range(seqLen):
                 while slot % seqPeriod:
                     slot += 1
                 if slot >= self.trajectory.numPoints:
-                    ok = False
-                    break
-                seq.append(np.asarray(self.channel_matrix(slotNo=slot)))
+                    return
+                slots.append(slot)
                 slot += 1
-            if not ok:
-                return
             n += 1
-            yield np.stack(seq)
+            yield np.asarray(batched(jnp.asarray(slots)))
