@@ -13,10 +13,18 @@ raised-cosine CIR denoising used by the noise estimator:
   noise: ifft -> window -> fft -> var  (grid.py:811-837) -> MLP correction
   hEst = Wl @ hF                       (time interp as matmul, grid.py:853-866)
 
-The public reference default (kernel='linear', polarInt=False, 1-D time
-interp — grid.py:974) is exactly representable as these static matrices.
-RBF ('thin_plate_spline'/'multiquadric') and 2-D interpolation have no cheap
-XLA analogue and are host-side extras (SURVEY.md §7 hard parts).
+Every interpolation the reference offers is a *linear map from pilot values
+to target values with config-static coefficients* — including the RBF
+kernels ('thin_plate_spline'/'multiquadric', reference utils.py:26-36) and
+the 2-D time-frequency RBF (int2d, grid.py:853-863): the pilot coordinates
+are fixed by the config, so W = f(targets) where f is the scipy interpolant
+fitted on identity values. W is extracted host-side once (exact scipy
+behavioral parity by construction, neighbors/smoothing/degree included) and
+shipped as one more static matmul; no host fallback is needed on device.
+
+Ports may have differing pilot counts/layouts (reference grid.py:775-808
+loops per port); partial CDM groups raise, as in the reference
+(grid.py:793-794 "Partial CDMs are not supported in this version.").
 
 Deviation: the reference noise loop reads the stale ``portKs`` of the LAST
 port for every port (grid.py:823-826 never reassigns it), so with multiple
@@ -31,9 +39,17 @@ import jax.numpy as jnp
 from ..utils import toDb, toLinear
 
 
-def interp_matrix(x: np.ndarray, t: np.ndarray, kind: str = "linear") -> np.ndarray:
-    """(len(t), len(x)) matrix W with W@v == interp1d(x, v, kind,
-    fill_value='extrapolate')(t) for linear/nearest (reference utils.py:26-36).
+def interp_matrix(x: np.ndarray, t: np.ndarray, kind: str = "linear",
+                  neighbors: int | None = 12,
+                  smoothing: float = 0.0) -> np.ndarray:
+    """(len(t), len(x)) matrix W with W@v == reference
+    ``utils.interpolate(x, v, t, kind, neighbors, smoothing)``.
+
+    linear/nearest are built directly; quadratic and the RBF kernels
+    ('thin_plate_spline'/'multiquadric', epsilon=1 degree=1 exactly as
+    reference utils.py:27-28) are extracted from the scipy interpolant by
+    fitting it on identity values — the interpolation is linear in the
+    values, so the identity columns ARE the weight matrix.
     """
     x = np.asarray(x, np.float64)
     t = np.asarray(t, np.float64)
@@ -48,13 +64,54 @@ def interp_matrix(x: np.ndarray, t: np.ndarray, kind: str = "linear") -> np.ndar
         idx = np.searchsorted(mid, t, side="left")
         W[np.arange(len(t)), idx] = 1.0
         return W
-    if kind != "linear":
-        raise ValueError(f"Unsupported static interp kind {kind!r}")
-    i = np.clip(np.searchsorted(x, t, side="right") - 1, 0, n - 2)
-    w = (t - x[i]) / (x[i + 1] - x[i])
-    W[np.arange(len(t)), i] = 1 - w
-    W[np.arange(len(t)), i + 1] = w
-    return W
+    if kind == "linear":
+        i = np.clip(np.searchsorted(x, t, side="right") - 1, 0, n - 2)
+        w = (t - x[i]) / (x[i + 1] - x[i])
+        W[np.arange(len(t)), i] = 1 - w
+        W[np.arange(len(t)), i + 1] = w
+        return W
+    if kind == "quadratic":
+        from scipy.interpolate import interp1d
+        return interp1d(x, np.eye(n), kind="quadratic", axis=0,
+                        fill_value="extrapolate")(t)
+    if kind in ("thin_plate_spline", "multiquadric"):
+        from scipy.interpolate import RBFInterpolator
+        f = RBFInterpolator(x[:, None], np.eye(n), neighbors, smoothing,
+                            kind, 1)
+        return f(t[:, None])
+    raise ValueError(f"Unsupported interpolation kind {kind!r}")
+
+
+def interp2d_matrix(ls: np.ndarray, ll: int, kk: int, kernel: str,
+                    neighbors: int | None, smoothing: float,
+                    degree: int | None) -> np.ndarray:
+    """(ll*kk, len(ls)*kk) weight matrix of the reference's 2-D RBF
+    interpolation over the (symbol, subcarrier) plane (grid.py:853-863):
+    pilot points = meshgrid(arange(kk), ls), targets = the full grid, both
+    flattened symbol-major. Extracted from scipy by the identity trick.
+
+    Deviation (documented reference bug): the reference's int2d defaults
+    (neighbors=12, grid.py:741) crash in scipy with 'Singular matrix' —
+    the 12 nearest pilots to any target lie on ONE pilot symbol row
+    (subcarrier spacing 1 << symbol spacing), so the local degree-1
+    monomial system is rank-deficient. We fall back to the global RBF
+    (neighbors=None), which is what the reference needs to be called with
+    to work at all."""
+    from numpy.linalg import LinAlgError
+    from scipy.interpolate import RBFInterpolator
+    pilotLKs = np.float64(
+        np.meshgrid(np.arange(kk), np.asarray(ls, np.float64))).reshape(2, -1).T
+    allLKs = np.float64(
+        np.meshgrid(range(kk), range(ll))).reshape(2, -1).T
+    eye = np.eye(len(pilotLKs))
+    try:
+        f = RBFInterpolator(pilotLKs, eye, neighbors, smoothing, kernel,
+                            degree=degree)
+        return f(allLKs)
+    except LinAlgError:
+        f = RBFInterpolator(pilotLKs, eye, None, smoothing, kernel,
+                            degree=degree)
+        return f(allLKs)
 
 
 # Noise-variance correction MLP weights — numeric constants reproduced from
@@ -104,12 +161,16 @@ class LsChannelEstimator:
     in :mod:`neoradium_tpu.phy.csirs`). The returned channel includes the
     precoding effect (Heff = H V, grid.py:755-757).
 
-    Args mirror reference estimateChannelLS: meanCdm, polarInt, kernel
-    ('linear' or 'nearest' on device).
+    Args mirror reference estimateChannelLsEx: meanCdm, polarInt, kernel
+    ('linear'/'nearest'/'quadratic'/'thin_plate_spline'/'multiquadric'),
+    int2d (2-D time-frequency RBF), neighbors, smoothing, degree — all
+    interpolation variants run on device as static matmuls.
     """
 
     def __init__(self, pdschCfg, slotNo: int = 0, meanCdm: bool = True,
-                 polarInt: bool = False, kernel: str = "linear"):
+                 polarInt: bool = False, kernel: str = "linear",
+                 int2d: bool = False, neighbors: int | None = 12,
+                 smoothing: float = 0.0, degree: int | None = None):
         if pdschCfg.dmrs is None:
             raise ValueError("PDSCH config has no DMRS — call setDMRS first")
         car = pdschCfg.carrier
@@ -121,11 +182,14 @@ class LsChannelEstimator:
         for p, l, ks, vs in vals:
             ports.setdefault(p, []).append((l, ks, vs))
         self._setup(car, ports, dmrs.symbols, 4 if dmrs.enhanced else 2,
-                    meanCdm, polarInt, kernel)
+                    meanCdm, polarInt, kernel, int2d, neighbors, smoothing,
+                    degree)
 
     @classmethod
     def from_csirs(cls, csiRsConfig, slotNo: int = 0, meanCdm: bool = True,
-                   polarInt: bool = False, kernel: str = "linear"):
+                   polarInt: bool = False, kernel: str = "linear",
+                   int2d: bool = False, neighbors: int | None = 12,
+                   smoothing: float = 0.0, degree: int | None = None):
         """CSI-RS branch of reference estimateChannelLsEx (grid.py:747-753):
         the returned channel does NOT include precoding (per-tx-port H)."""
         self = cls.__new__(cls)
@@ -143,13 +207,16 @@ class LsChannelEstimator:
             ks = np.asarray([k for k, _ in kvs], np.int32)
             vs = np.asarray([v for _, v in kvs], np.complex128)
             ports.setdefault(p, []).append((l, ks, vs))
-        self._setup(car, ports, lCdm, kCdm, meanCdm, polarInt, kernel)
+        self._setup(car, ports, lCdm, kCdm, meanCdm, polarInt, kernel,
+                    int2d, neighbors, smoothing, degree)
         return self
 
-    def _setup(self, car, ports, lCdm, kCdm, meanCdm, polarInt, kernel):
+    def _setup(self, car, ports, lCdm, kCdm, meanCdm, polarInt, kernel,
+               int2d=False, neighbors=12, smoothing=0.0, degree=None):
         self.carrier = car
         self.meanCdm = meanCdm
         self.polarInt = polarInt
+        self.int2d = int2d
         self.lCdm = lCdm
         self.kCdm = kCdm
         cdmSize = lCdm * kCdm
@@ -157,34 +224,57 @@ class LsChannelEstimator:
         self.shape = (ll, kk)
         pp = len(ports)
         # organize per port: ls (numLs,), ks (numKs,), pilotVals (numLs, numKs)
-        self.portLs, self.portKs, pilotVals = [], [], []
+        # Ports may have different pilot counts/layouts (reference
+        # grid.py:775-808 loops per port) — everything below is per-port.
+        self.portLs, self.portKs, self.pilotVals = [], [], []
         for p in range(pp):
             entries = sorted(ports[p], key=lambda e: e[0])
             ls = np.asarray([e[0] for e in entries], np.int32)
             ks = np.asarray(entries[0][1], np.int32)
             self.portLs.append(ls)
             self.portKs.append(ks)
-            pilotVals.append(np.stack([e[2] for e in entries]))
-        numLs, numKs = len(self.portLs[0]), len(self.portKs[0])
-        for p in range(pp):
-            if len(self.portLs[p]) != numLs or len(self.portKs[p]) != numKs:
-                raise ValueError("Ports with differing pilot counts are not supported")
-        self.pilotVals = np.stack(pilotVals)            # (pp, numLs, numKs)
-        self.numLs, self.numKs, self.pp = numLs, numKs, pp
+            self.pilotVals.append(np.stack([e[2] for e in entries]))
+        self.pp = pp
 
-        if meanCdm:
-            if numKs % self.kCdm or numLs % self.lCdm:
-                raise ValueError("Partial CDMs are not supported")
-            ks2 = [ks.reshape(-1, self.kCdm).mean(1) for ks in self.portKs]
-            ls2 = [ls.reshape(-1, self.lCdm).mean(1) for ls in self.portLs]
-        else:
-            ks2 = [ks.astype(np.float64) for ks in self.portKs]
-            ls2 = [ls.astype(np.float64) for ls in self.portLs]
+        ks2, ls2 = [], []
+        for p in range(pp):
+            numLs, numKs = len(self.portLs[p]), len(self.portKs[p])
+            if meanCdm:
+                if numKs % kCdm or numLs % lCdm:
+                    # matches reference grid.py:793-794
+                    raise ValueError(
+                        "Partial CDMs are not supported in this version.")
+                ks2.append(self.portKs[p].reshape(-1, kCdm).mean(1))
+                ls2.append(self.portLs[p].reshape(-1, lCdm).mean(1))
+            else:
+                ks2.append(self.portKs[p].astype(np.float64))
+                ls2.append(self.portLs[p].astype(np.float64))
         self.cdmSize = cdmSize if meanCdm else 1
 
         # static interpolation matrices, per port (pilot layouts may differ)
-        self.Wk = np.stack([interp_matrix(k, np.arange(kk), kernel) for k in ks2])
-        self.Wl = np.stack([interp_matrix(l, np.arange(ll), kernel) for l in ls2])
+        self.Wk = [interp_matrix(k, np.arange(kk), kernel, neighbors,
+                                 smoothing) for k in ks2]
+        # time stage: reference repeats single-pilot-symbol ports
+        # (grid.py:846-848) — as a matrix that is a column of ones; int2d
+        # replaces the 1-D time interp with the 2-D map (grid.py:853-863).
+        self.Wl, self.W2d = [], []
+        w2dCache = {}
+        for p in range(pp):
+            if len(ls2[p]) == 1:
+                self.Wl.append(np.ones((ll, 1)))
+                self.W2d.append(None)
+                continue
+            if int2d:
+                key = tuple(ls2[p])
+                if key not in w2dCache:
+                    w2dCache[key] = interp2d_matrix(
+                        ls2[p], ll, kk, kernel, neighbors, smoothing, degree)
+                self.Wl.append(None)
+                self.W2d.append(w2dCache[key])
+            else:
+                self.Wl.append(interp_matrix(ls2[p], np.arange(ll), kernel,
+                                             neighbors, smoothing))
+                self.W2d.append(None)
 
         # raised-cosine CIR window for noise estimation (grid.py:811-819)
         riseLen = (min(car.symbolLensSubframe) - car.nFFT) * kk // car.nFFT
@@ -194,58 +284,69 @@ class LsChannelEstimator:
 
     # ------------------------------------------------------------------ device
     def estimate(self, rxGrid: jnp.ndarray):
-        """rxGrid (..., Nr, L, K) -> (hEst (..., L, K, Nr, Np), noiseVar (...,))."""
+        """rxGrid (..., Nr, L, K) -> (hEst (..., L, K, Nr, Np), noiseVar (...,)).
+
+        Static per-port unrolled loop (pp <= 32): each port is a gather +
+        CDM reshape-mean + interp matmuls; XLA fuses across ports. Tiny dims
+        (pp, lCdm, kCdm) never end up minor-most.
+        """
         ll, kk = self.shape
-        ls = jnp.asarray(np.stack(self.portLs))          # (pp, numLs)
-        ks = jnp.asarray(np.stack(self.portKs))          # (pp, numKs)
-        pv = jnp.asarray(self.pilotVals, rxGrid.dtype)   # (pp, numLs, numKs)
-
-        # LS at pilots: (..., pp, numLs, numKs, rr)
         g = jnp.moveaxis(rxGrid, -3, -1)                 # (..., L, K, rr)
-        hp = g[..., ls[:, :, None], ks[:, None, :], :] / pv[..., None]
-        hpOrig = hp
-
-        if self.meanCdm:
-            lead = hp.shape[:-4]
-            pp, numLs, numKs = self.pp, self.numLs, self.numKs
-            lCdm, kCdm = self.lCdm, self.kCdm
-            rr = hp.shape[-1]
-            h = hp.reshape(lead + (pp, numLs, numKs // kCdm, kCdm, rr))
-            h = jnp.moveaxis(h, -2, -3)                  # (..., pp, numLs, kCdm, nK2, rr)
-            h = h.reshape(lead + (pp, numLs // lCdm, lCdm * kCdm, numKs // kCdm, rr))
-            hp = h.mean(-3)                              # (..., pp, nL2, nK2, rr)
-
-        # frequency interpolation (matmul with static weights), optionally polar
-        Wk = jnp.asarray(self.Wk, hp.real.dtype)
-        if self.polarInt:
-            theta = jnp.unwrap(jnp.angle(hp), axis=-2)
-            r = jnp.abs(hp)
-            thetaF = jnp.einsum("pka,...plar->...plkr", Wk, theta)
-            rF = jnp.einsum("pka,...plar->...plkr", Wk, r)
-            hF = (rF * jnp.exp(1j * thetaF)).astype(hp.dtype)
-        else:
-            hF = jnp.einsum("pka,...plar->...plkr", Wk, hp)  # (..., pp, nL2, kk, rr)
-
-        # noise estimation via raised-cosine CIR denoising (grid.py:811-837)
-        cir = jnp.fft.ifft(hF, axis=-2)
-        den = jnp.fft.fft(cir * jnp.asarray(self.win)[:, None], axis=-2)
-        if self.meanCdm and self.lCdm > 1:
-            den = jnp.repeat(den, self.lCdm, axis=-3)
-        # static one-hot gather of pilot subcarriers, per port
-        sel = np.zeros((self.pp, self.numKs, kk), np.float32)
-        for p in range(self.pp):
-            sel[p, np.arange(self.numKs), self.portKs[p]] = 1.0
-        denAtPilots = jnp.einsum("pak,...plkr->...plar",
-                                 jnp.asarray(sel, den.real.dtype), den)
-        deltas = (hpOrig - denAtPilots).reshape(hpOrig.shape[:-4] + (-1,))
-        rawVar = jnp.var(deltas, axis=-1)
+        lead = g.shape[:-3]
         rr = rxGrid.shape[-3]
+        lCdm, kCdm = self.lCdm, self.kCdm
+        win = jnp.asarray(self.win)
+        deltas, hs = [], []
+        for p in range(self.pp):
+            ls = jnp.asarray(self.portLs[p])
+            ks = jnp.asarray(self.portKs[p])
+            pv = jnp.asarray(self.pilotVals[p], rxGrid.dtype)
+            numLs, numKs = len(self.portLs[p]), len(self.portKs[p])
+            # LS at pilots: (..., numLs, numKs, rr)
+            hp = g[..., ls[:, None], ks[None, :], :] / pv[..., None]
+            hpOrig = hp
+
+            if self.meanCdm:                              # grid.py:791-798
+                h = hp.reshape(lead + (numLs, numKs // kCdm, kCdm, rr))
+                h = jnp.moveaxis(h, -2, -3)               # (..., nLs, kCdm, nK2, rr)
+                h = h.reshape(lead + (numLs // lCdm, lCdm * kCdm,
+                                      numKs // kCdm, rr))
+                hp = h.mean(-3)                           # (..., nL2, nK2, rr)
+
+            # frequency interpolation (static matmul), optionally polar
+            Wk = jnp.asarray(self.Wk[p], hp.real.dtype)
+            if self.polarInt:
+                theta = jnp.unwrap(jnp.angle(hp), axis=-2)
+                r = jnp.abs(hp)
+                thetaF = jnp.einsum("ka,...lar->...lkr", Wk, theta)
+                rF = jnp.einsum("ka,...lar->...lkr", Wk, r)
+                hF = (rF * jnp.exp(1j * thetaF)).astype(hp.dtype)
+            else:
+                hF = jnp.einsum("ka,...lar->...lkr", Wk, hp)  # (..., nL2, kk, rr)
+
+            # noise deltas via raised-cosine CIR denoising (grid.py:811-837)
+            cir = jnp.fft.ifft(hF, axis=-2)
+            den = jnp.fft.fft(cir * win[:, None], axis=-2)
+            if self.meanCdm and lCdm > 1:
+                den = jnp.repeat(den, lCdm, axis=-3)
+            denAtPilots = jnp.take(den, ks, axis=-2)      # (..., nLs, nKs, rr)
+            deltas.append((hpOrig - denAtPilots).reshape(lead + (-1,)))
+
+            # time / 2-D interpolation -> (..., ll, kk, rr)
+            if self.W2d[p] is not None:
+                W2 = jnp.asarray(self.W2d[p], hp.real.dtype)
+                flat = hF.reshape(lead + (-1, rr))        # (..., nL2*kk, rr)
+                hs.append(jnp.einsum("ba,...ar->...br", W2,
+                                     flat).reshape(lead + (ll, kk, rr)))
+            else:
+                Wl = jnp.asarray(self.Wl[p], hp.real.dtype)
+                hs.append(jnp.einsum("la,...akr->...lkr", Wl, hF))
+
+        allDeltas = jnp.concatenate(deltas, axis=-1)
+        rawVar = jnp.var(allDeltas, axis=-1)
         noiseVar = scale_noise_var(
             rawVar, self.carrier.spacing, self.pp, rr, kk,
-            self.lCdm if self.meanCdm else 1, self.kCdm if self.meanCdm else 1,
-            deltas.shape[-1])
-
-        # time interpolation -> (..., L, K, rr, pp)
-        Wl = jnp.asarray(self.Wl, hp.real.dtype)
-        hEst = jnp.einsum("pla,...pakr->...lkrp", Wl, hF)
+            lCdm if self.meanCdm else 1, kCdm if self.meanCdm else 1,
+            allDeltas.shape[-1])
+        hEst = jnp.stack(hs, axis=-1)                     # (..., L, K, rr, pp)
         return hEst, noiseVar

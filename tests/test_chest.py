@@ -52,6 +52,31 @@ def test_hest_matches_reference(tag, golden):
     assert abs(float(nv) - refNv) / refNv < tol, (float(nv), refNv)
 
 
+@pytest.mark.parametrize("kernel,polarInt,int2d", [
+    ("thin_plate_spline", False, False),
+    ("thin_plate_spline", True, True),
+    ("multiquadric", False, False),
+    ("quadratic", False, False),
+])
+def test_interp_kernel_variants(kernel, polarInt, int2d, golden):
+    """RBF / quadratic / 2-D interpolation as static device matmuls
+    (reference estimateChannelLsEx grid.py:740-866)."""
+    carkw, pkw, dkw = CASES["c1"]
+    cfg = PdschConfig(CarrierConfig(**carkw), **pkw)
+    cfg.setDMRS(**dkw)
+    est = LsChannelEstimator(cfg, slotNo=0, polarInt=polarInt, kernel=kernel,
+                             int2d=int2d, neighbors=None if int2d else 12)
+    h, nv = jax.jit(est.estimate)(jnp.asarray(golden["c1_noisy"]))
+    key = f"k_{kernel}_{int(polarInt)}{int(int2d)}"
+    ref = golden[f"{key}_hEst"]
+    err = np.abs(np.asarray(h) - ref).max() / np.abs(ref).max()
+    # int2d extracts the weight matrix from a poorly-conditioned ~1.5k TPS
+    # system — identity-extraction vs direct solve agree to ~1e-9 relative.
+    assert err < (1e-7 if int2d else 1e-9), (key, err)
+    refNv = float(golden[f"{key}_noiseVar"])
+    assert abs(float(nv) - refNv) / refNv < 1e-6
+
+
 def test_estimator_batches_and_jits(golden):
     est = make_estimator("c1")
     rx = jnp.asarray(golden["c1_noisy"])

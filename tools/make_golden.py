@@ -253,6 +253,22 @@ def chest():
         out[f"{tag}_h"] = h
         out[f"{tag}_hEst"] = refH
         out[f"{tag}_noiseVar"] = np.array(refNv)
+        if tag != "c1":
+            continue
+        # interpolation-kernel variants on the c1 grid (estimateChannelLsEx;
+        # int2d needs neighbors=None — the reference's default neighbors=12
+        # crashes scipy there, see chest.py interp2d_matrix docstring)
+        for kernel, polarInt, int2d in [
+                ("thin_plate_spline", False, False),
+                ("thin_plate_spline", True, True),
+                ("multiquadric", False, False),
+                ("quadratic", False, False)]:
+            vh, vnv, _ = rxg.estimateChannelLsEx(
+                p.dmrs, meanCdm=True, polarInt=polarInt, int2d=int2d,
+                kernel=kernel, neighbors=None if int2d else 12)
+            key = f"k_{kernel}_{int(polarInt)}{int(int2d)}"
+            out[f"{key}_hEst"] = vh
+            out[f"{key}_noiseVar"] = np.array(vnv)
     np.savez_compressed(f"{OUT}/chest.npz", **out)
 
 
@@ -450,19 +466,150 @@ def ptrs():
     np.savez_compressed(f"{OUT}/ptrs.npz", **out)
 
 
+def bler_curve():
+    """Ensemble BLER counters from the reference PDSCH-BLER pipeline.
+
+    Mirrors ``Playground/PDSCH/PDSCH-BLER.ipynb`` (CDL-C 8x2, 16QAM,
+    R=490/1024, freq-domain channel) but samples the BLER *ensemble*: a
+    fresh seeded channel realization per slot, so the counters are i.i.d.
+    Bernoulli draws comparable to our independent Monte-Carlo trials.
+    Both perfect and LS channel estimation are recorded.
+    """
+    from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
+    from neoradium import random as refrandom
+    from neoradium.ldpc import LdpcEncoder
+
+    SNRS = [3.0, 5.0, 7.0, 9.0]
+    NUM_SLOTS = 240
+    out = {"snrs": np.array(SNRS), "numSlots": np.array(NUM_SLOTS)}
+    for chEst in ("perfect", "ls"):
+        errs = []
+        for snrDb in SNRS:
+            refrandom.setSeed(123)
+            carrier = Carrier(numRbs=51, spacing=30)
+            bwp = carrier.curBwp
+            pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                          nID=carrier.cellId, modulation="16QAM")
+            pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+            enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=2,
+                              targetRate=490 / 1024)
+            dec = enc.getDecoder()
+            cbErrors = cbTotal = tbErrors = 0
+            for slotNo in range(NUM_SLOTS):
+                channel = CdlChannel(
+                    bwp, "C", delaySpread=300, carrierFreq=4e9,
+                    dopplerShift=5, seed=1000 + slotNo,
+                    txAntenna=AntennaPanel([2, 2], polarization="x"),
+                    rxAntenna=AntennaPanel([1, 1], polarization="x"))
+                grid = pdsch.getGrid()
+                tbs = pdsch.getTxBlockSize(490 / 1024)
+                txBlock = refrandom.bits(tbs[0])
+                numBits = pdsch.getBitSizes(grid)
+                rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
+                pdsch.populateGrid(grid, rm)
+                idx = pdsch.getReIndexes(grid, "PDSCH")
+                H = channel.getChannelMatrix()
+                F = pdsch.getPrecodingMatrix(H)
+                pre = grid.precode(F)
+                rxGrid = pre.applyChannel(H).addNoise(snrDb=snrDb,
+                                                      useRxPower=True)
+                if chEst == "perfect":
+                    hEst = H @ F[None, ...]
+                else:
+                    hEst, _ = rxGrid.estimateChannelLS(
+                        pdsch.dmrs, polarInt=False, kernel="linear")
+                eqGrid, scales = rxGrid.equalize(hEst)
+                llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+                rec = dec.recoverRate(llrs[0], tbs[0])
+                decoded = dec.decode(rec, numIter=8)
+                _, crcMatch = dec.checkCrcAndMerge(decoded)
+                cbErrors += len(crcMatch) - sum(crcMatch)
+                cbTotal += len(crcMatch)
+                tbErrors += int(not all(crcMatch))
+            errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
+            print(f"  bler_curve {chEst} SNR {snrDb}: tb {tbErrors}/"
+                  f"{NUM_SLOTS} cb {cbErrors}/{cbTotal}")
+        # columns: tbErrors, tbTotal, cbErrors, cbTotal
+        out[f"{chEst}_counts"] = np.array(errs, dtype=np.int64)
+    np.savez_compressed(f"{OUT}/bler_curve.npz", **out)
+
+
+def harq_anchor():
+    """The throughput-notebook anchor: 1000-slot HARQ run, faithful replica.
+
+    Reproduces ``Playground/PDSCH/PDSCH-Throughput.ipynb`` exactly (seed 123,
+    CDL-C 8x2 continuous channel, 16 IR HARQ processes, perfect chEst,
+    decoder numIter=2) at snrDb = 6 and 10.  The committed notebook output at
+    6 dB is txBits=30216000, rxBits=3263328 (10.80% throughput), rxBlocks=108
+    (89.20% BLER), meanTries=3.54 — this generator should land on the same
+    numbers modulo numpy-version float drift.
+    """
+    from neoradium import (Carrier, PDSCH, CdlChannel, AntennaPanel,
+                           LdpcEncoder, HarqEntity)
+    from neoradium import random as refrandom
+
+    numSlots = 1000
+    out = {"numSlots": np.array(numSlots), "snrs": np.array([6.0, 10.0])}
+    carrier = Carrier(numRbs=51, spacing=30)
+    bwp = carrier.curBwp
+    pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                  nID=carrier.cellId, modulation="16QAM")
+    pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2,
+                  otherCdmGroups=[])
+    enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM",
+                      txLayers=pdsch.numLayers, targetRate=490 / 1024)
+    harq = HarqEntity(enc, "IR", 16)
+    channel = CdlChannel(
+        bwp, "C", delaySpread=300, carrierFreq=4e9, dopplerShift=5,
+        txAntenna=AntennaPanel([1, 4], polarization="x"),
+        rxAntenna=AntennaPanel([1, 1], polarization="+",
+                               beamWidth=[75, 360]),
+        rxOrientation=[0, 0, 0])
+    for snrDb in (6, 10):
+        refrandom.setSeed(123)
+        channel.restart()
+        harq.reset()
+        for s in range(numSlots):
+            grid = bwp.createGrid(pdsch.numLayers)
+            pdsch.allocateResources(grid)
+            txBlockSizes = pdsch.getTxBlockSize(490 / 1024)
+            numBits = pdsch.getBitSizes(grid)
+            txBlocks = [refrandom.bits(txBlockSizes[c])
+                        if harq.needNewData[c] else None
+                        for c in range(harq.numCW)]
+            rm = harq.getRateMatchedCodeBlocks(txBlocks, numBits)
+            pdsch.populateGrid(grid, rm)
+            H = channel.getChannelMatrix()
+            F = pdsch.getPrecodingMatrix(H)
+            rxGrid = grid.precode(F).applyChannel(H)
+            noisy = rxGrid.addNoise(snrDb=snrDb, useRxPower=True)
+            eqGrid, llrScales = noisy.equalize(H @ F[None, ...])
+            llrs = pdsch.getLLRsFromGrid(eqGrid, pdsch.dataIndices,
+                                         llrScales)
+            harq.decodeLLRs(llrs, txBlockSizes, numIter=2)
+            channel.goNext()
+            harq.goNext()
+        tag = f"snr{snrDb}"
+        out[f"{tag}_txBits"] = harq.txBits.copy()
+        out[f"{tag}_rxBits"] = harq.rxBits.copy()
+        out[f"{tag}_txBlocks"] = harq.txBlocks.copy()
+        out[f"{tag}_rxBlocks"] = harq.rxBlocks.copy()
+        out[f"{tag}_numTimeouts"] = np.array(harq.numTimeouts)
+        print(f"  harq_anchor snr={snrDb}: throughput={harq.throughput:.2f}%"
+              f" bler={harq.bler:.2f}% meanTries={harq.meanTries:.2f}")
+    np.savez_compressed(f"{OUT}/harq_anchor.npz", **out)
+
+
+ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest,
+                  tdl, polar, csirs, csifb, ptrs, bler_curve, harq_anchor]
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
-    gold_and_crc()
-    modulation()
-    ofdm()
-    ldpc()
-    pdsch()
-    cdl()
-    chest()
-    tdl()
-    polar()
-    csirs()
-    csifb()
-    ptrs()
+    names = sys.argv[1:]
+    for gen in ALL_GENERATORS:
+        if names and gen.__name__ not in names:
+            continue
+        print(f"generating {gen.__name__} ...")
+        gen()
     print("golden fixtures written to", OUT)
