@@ -228,12 +228,16 @@ class ChannelBase:
         h = (h * ramp).reshape(nc, nr, nt, K)
         return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
 
-    def apply_to_signal(self, waveform, state, slotNo: int = 0):
+    def apply_to_signal(self, waveform, state, slotNo: int = 0,
+                        symMapSlot: int | None = None):
         """waveform (..., nt, ns) -> received (..., nr, ns).
 
         FFT-based linear convolution over all paths at once, then per-symbol
-        gain mix (reference applyToSignal:403-448). ``slotNo`` must be a host
-        int here (the per-sample symbol map is a static gather).
+        gain mix (reference applyToSignal:403-448). The per-sample symbol map
+        is a static gather: ``slotNo`` must be a host int, OR pass a traced
+        ``slotNo`` (for the gain times) together with a host-int
+        ``symMapSlot`` giving the slot-in-subframe CP pattern to use (callers
+        scan over slots and lax.switch over the distinct patterns).
         """
         gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
         ns = waveform.shape[-1]
@@ -244,7 +248,7 @@ class ChannelBase:
         C = jnp.fft.fft(jnp.asarray(cm), nfft, axis=-1)        # (pp, nfft)
         y = jnp.fft.ifft(X[..., None, :, :] * C[:, None, :], axis=-1)[..., :ns]
         # y: (..., pp, nt, ns)
-        symLens = self.sym_lens(slotNo)
+        symLens = self.sym_lens(slotNo if symMapSlot is None else symMapSlot)
         symIdx = np.repeat(np.arange(len(symLens)), symLens)[:ns]
         if ns > symLens.sum():
             symIdx = np.append(symIdx, np.full(ns - symLens.sum(), len(symLens) - 1))

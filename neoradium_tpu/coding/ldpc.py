@@ -622,12 +622,22 @@ class LdpcDecoder:
         merged = noFill[..., :-24].reshape(noFill.shape[:-2] + (-1,))
         return merged, ok
 
-    def decode_tb(self, llrs: jnp.ndarray, rv: int = 0, numIter: int = 5,
-                  softBuffer: jnp.ndarray | None = None):
-        """One-shot: LLRs (..., G) -> (payload (..., A), tbOk (...), buffer)."""
+    def decode_tb_full(self, llrs: jnp.ndarray, rv: int = 0, numIter: int = 5,
+                       softBuffer: jnp.ndarray | None = None):
+        """LLRs (..., G) -> (payload (..., A), tbOk (...), cbOk (..., C), buffer).
+
+        ``cbOk`` is the per-code-block CRC pass flag (reference
+        ldpc.py checkCrcAndMerge semantics); ``tbOk`` additionally checks the
+        transport-block CRC on the merged payload."""
         c = self.cfg
         rec, buf = self.recover_rate(llrs, rv, softBuffer)
         decoded = self.decode(rec, numIter)
         merged, cbOk = self.check_crc_and_merge(decoded)
         tbOk = crc_mod.check_crc_device(merged, self._tb_crc_mat) & jnp.all(cbOk, axis=-1)
-        return merged[..., :c.payloadSize], tbOk, buf
+        return merged[..., :c.payloadSize], tbOk, cbOk, buf
+
+    def decode_tb(self, llrs: jnp.ndarray, rv: int = 0, numIter: int = 5,
+                  softBuffer: jnp.ndarray | None = None):
+        """One-shot: LLRs (..., G) -> (payload (..., A), tbOk (...), buffer)."""
+        payload, tbOk, _, buf = self.decode_tb_full(llrs, rv, numIter, softBuffer)
+        return payload, tbOk, buf

@@ -162,7 +162,7 @@ class PdschLinkSim:
             noiseVar = sigma ** 2 * self.carrier.nFFT
         else:
             rxGrid0 = apply_channel_freq(txGrid, H) if H is not None else txGrid
-            if self.useRxPower and chan is not None:
+            if self.useRxPower and H is not None:
                 # reference grid.py:1028-1046: sigma^2 = grid.var()/snr
                 x = rxGrid0.reshape(rxGrid0.shape[:-3] + (-1,))
                 sigma = jnp.sqrt(jnp.var(x, axis=-1) / snr)
@@ -187,15 +187,20 @@ class PdschLinkSim:
         llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
         bitErr = jnp.zeros((), jnp.int32)
         blkErr = jnp.zeros((), jnp.int32)
-        totalBits, totalBlocks = 0, 0
+        cbErr = jnp.zeros((), jnp.int32)
+        totalBits, totalBlocks, totalCbs = 0, 0, 0
         for q in range(numCW):
-            decoded, ok, _ = self.ldpc[q][1].decode_tb(llrs[q], numIter=self.decoderIter)
+            decoded, ok, cbOk, _ = self.ldpc[q][1].decode_tb_full(
+                llrs[q], numIter=self.decoderIter)
             bitErr = bitErr + jnp.sum(decoded != payloads[q], dtype=jnp.int32)
             blkErr = blkErr + (~ok).astype(jnp.int32)
+            cbErr = cbErr + jnp.sum(~cbOk, dtype=jnp.int32)
             totalBits += self.tbs[q]
             totalBlocks += 1
+            totalCbs += self.ldpc[q][0].cfg.numCodeBlocks
         return dict(bitErrors=bitErr, blockErrors=blkErr,
-                    bits=jnp.int32(totalBits), blocks=jnp.int32(totalBlocks))
+                    bits=jnp.int32(totalBits), blocks=jnp.int32(totalBlocks),
+                    cbErrors=cbErr, cbs=jnp.int32(totalCbs))
 
     # ------------------------------------------------------------ jit entry
     def make_trial_fn(self, channel: jnp.ndarray | None = None):
@@ -204,14 +209,77 @@ class PdschLinkSim:
             return self.run_slot(key, snrDb, channel)
         return fn
 
+    # ---------------------------------------------------- TD slot machinery
+    def _td_patterns(self):
+        """Distinct slot CP patterns within a subframe.
+
+        Returns ([(slotInSubframe, OfdmContext)], branchOfSlot (spsf,)).
+        At 15/30 kHz every slot shares one pattern; at >=60 kHz the slots
+        containing the long-CP symbols (0 and 7*2^mu of the subframe) differ
+        from the rest, so a traced slot number needs a lax.switch.
+        """
+        car = self.carrier
+        pats, pmap, seen = [], [], {}
+        for r in range(car.slotsPerSubFrame):
+            s = r * car.symbolsPerSlot
+            key = tuple(car.symbolLensSubframe[s: s + car.symbolsPerSlot])
+            if key not in seen:
+                seen[key] = len(pats)
+                pats.append((r, OfdmContext(car, r)))
+            pmap.append(seen[key])
+        return pats, np.asarray(pmap, np.int32)
+
+    def td_channel_rx(self, txGrid, chanState, slotNo, kNoise, snr):
+        """One slot through the TIME-domain channel path with a traced slot
+        number: OFDM modulate -> pad -> fractional-delay channel -> AWGN ->
+        timing sync -> OFDM demodulate. Returns (rxGrid, noiseVar).
+
+        The static CP-pattern tables are selected by lax.switch over the
+        distinct slot patterns (one branch at 15/30 kHz)."""
+        chan = self.channelModel
+        pats, pmap = self._td_patterns()
+
+        def mk(r, ofdm):
+            def f(_):
+                wf = ofdm.modulate(txGrid, windowing=self.windowing)
+                wf = jnp.pad(wf, [(0, 0)] * (wf.ndim - 1)
+                             + [(0, chan.getMaxDelay())])
+                rxWf = chan.apply_to_signal(wf, chanState, slotNo,
+                                            symMapSlot=r)
+                if self.useRxPower:
+                    fftW = rxWf[..., jnp.asarray(ofdm.tables["demod_idx"])]
+                    rePow = (jnp.var(fftW.reshape(fftW.shape[:-3] + (-1,)))
+                             / self.carrier.numSubcarriers)
+                    sigma = jnp.sqrt(rePow * self.carrier.nFFT / snr)
+                else:
+                    sigma = jnp.sqrt(1.0 / (snr * self.numRx
+                                            * self.carrier.nFFT))
+                noisy = rxWf + PRNG.awgn_from_key(
+                    kNoise, rxWf.shape, 1.0) * sigma.astype(jnp.float32)
+                offset = chan.timing_offset(chanState, slotNo)
+                noisy = jax.lax.dynamic_slice_in_dim(
+                    noisy, offset, ofdm.numSamples, axis=-1)
+                return ofdm.demodulate(noisy), sigma ** 2 * self.carrier.nFFT
+            return f
+
+        if len(pats) == 1:
+            return mk(*pats[0])(None)
+        if isinstance(slotNo, (int, np.integer)):
+            r = int(slotNo) % self.carrier.slotsPerSubFrame
+            return mk(*pats[pmap[r]])(None)
+        rem = slotNo % self.carrier.slotsPerSubFrame
+        return jax.lax.switch(jnp.asarray(pmap)[rem],
+                              [mk(r, o) for r, o in pats], None)
+
     def make_multislot_fn(self, numSlots: int):
         """(key, snrDb) -> summed metrics over ``numSlots`` consecutive slots
         with ONE fading realization evolving across them (the reference's
         per-SNR-point slot loop with channel.goNext(), SURVEY.md §3.2) as a
-        ``lax.scan``. Frequency-domain channel path only.
+        ``lax.scan``. Supports both channel domains: 'freq' (grid-level) and
+        'time' (OFDM + fractional-delay filtering + sync inside the scan).
         """
-        if self.domain != "freq" or self.channelModel is None:
-            raise ValueError("multislot path needs domain='freq' + channelModel")
+        if self.channelModel is None:
+            raise ValueError("multislot path needs a channelModel")
         plan, pdsch, chan = self.plan, self.pdsch, self.channelModel
         numCW = pdsch.numCW
 
@@ -232,14 +300,19 @@ class PdschLinkSim:
                 grid = plan.populate(rmBits if numCW > 1 else rmBits[0])
                 H = chan.channel_matrix(state, slotNo)
                 F = pdsch.precoding_matrix_traced(H)
-                rxGrid0 = apply_channel_freq(precode(grid, F), H)
-                if self.useRxPower:
-                    sigma = jnp.sqrt(jnp.var(rxGrid0.reshape(-1)) / snr)
+                txGrid = precode(grid, F)
+                if self.domain == "time":
+                    rxGrid, noiseVar = self.td_channel_rx(
+                        txGrid, state, slotNo, kNoise, snr)
                 else:
-                    sigma = jnp.sqrt(1.0 / (snr * self.numRx))
-                rxGrid = rxGrid0 + PRNG.awgn_from_key(
-                    kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
-                noiseVar = sigma ** 2
+                    rxGrid0 = apply_channel_freq(txGrid, H)
+                    if self.useRxPower:
+                        sigma = jnp.sqrt(jnp.var(rxGrid0.reshape(-1)) / snr)
+                    else:
+                        sigma = jnp.sqrt(1.0 / (snr * self.numRx))
+                    rxGrid = rxGrid0 + PRNG.awgn_from_key(
+                        kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
+                    noiseVar = sigma ** 2
                 if self.chEst == "ls":
                     hEff, _ = self.estimator.estimate(rxGrid)
                 else:
