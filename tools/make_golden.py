@@ -479,12 +479,15 @@ def bler_curve():
     from neoradium import random as refrandom
     from neoradium.ldpc import LdpcEncoder
 
-    SNRS = [3.0, 5.0, 7.0, 9.0]
-    NUM_SLOTS = 240
-    out = {"snrs": np.array(SNRS), "numSlots": np.array(NUM_SLOTS)}
+    # SNR points straddle each estimator's TB-level waterfall (LS costs
+    # ~2.5 dB vs perfect CSI in this config)
+    SNRS = {"perfect": [7.0, 8.0, 9.0, 10.0], "ls": [10.0, 11.0, 12.0, 13.0]}
+    NUM_SLOTS = 300
+    out = {"numSlots": np.array(NUM_SLOTS)}
     for chEst in ("perfect", "ls"):
+        out[f"{chEst}_snrs"] = np.array(SNRS[chEst])
         errs = []
-        for snrDb in SNRS:
+        for snrDb in SNRS[chEst]:
             refrandom.setSeed(123)
             carrier = Carrier(numRbs=51, spacing=30)
             bwp = carrier.curBwp
