@@ -45,6 +45,20 @@ def main():
     print(f"PMI       = i1={r['pmi'][0]}, i2 per subband={r['pmi'][1]}")
     print(f"CQI       = {r['cqi']} (subbands: {r['subbandCqis']})")
 
+    # other report quantities on the same estimate
+    li = nr.CsiReport(csiCfg, n1=4, n2=1, cqiTable=2,
+                      quantity="CriRiLiPmiCqi").computeReport(
+        np.asarray(hEst), float(estNv))
+    print(f"LI        = {li['li']} (strongest layer of rank {li['rank']})")
+    rsrp = nr.CsiReport(csiCfg, n1=4, n2=1,
+                        quantity="CriRsrp").computeReport(
+        np.asarray(hEst), float(estNv))
+    sinr = nr.CsiReport(csiCfg, n1=4, n2=1,
+                        quantity="CriSinr").computeReport(
+        np.asarray(hEst), float(estNv))
+    print(f"CSI-RSRP  = {rsrp['rsrpDb']:.1f} dB (cri={rsrp['cri']})")
+    print(f"CSI-SINR  = {sinr['sinrDb']:.1f} dB")
+
 
 if __name__ == "__main__":
     main()

@@ -670,6 +670,10 @@ class CsiReport:
         hAtCsiRs = np.asarray(channel)[idxP0]               # (numREs, Nr, Nt)
         cbIndexes, codebook = self.getCodebook(numLayers)
         sinr = np.asarray(self.compute_sinr(hAtCsiRs, codebook, noiseVar))
+        return self._pmi_select(sinr, cbIndexes, codebook, idxP0[1])
+
+    def _pmi_select(self, sinr, cbIndexes, codebook, reIndexes):
+        """Wideband + per-subband PMI selection from precomputed SINRs."""
         sumSinrs = sinr.sum((1, 2))
         best = int(sumSinrs.argmax())
         wbI1, wbI2 = cbIndexes[best]
@@ -682,7 +686,6 @@ class CsiReport:
         if sbSize == 0:
             return [wbI1, [wbI2]], [wbW], [sinr[best]]
 
-        reIndexes = idxP0[1]
         i1Cb = [i for i, ci in enumerate(cbIndexes) if np.all(ci[0] == wbI1)]
         sbI2s, sbWs, sbSinrs = [], [], []
         rb = 0
@@ -701,6 +704,17 @@ class CsiReport:
         return [wbI1, sbI2s], sbWs, sbSinrs
 
     def getBestRank(self, channel, noiseVar):
+        """Rank + PMI search as ONE batched device SINR call.
+
+        The reference loops ranks, recomputing getSINR per rank
+        (csifeedback.py:517-537); here the codebooks of every allowed rank
+        are zero-padded to the max layer count and concatenated, so the SVD
+        batch runs once for all (rank, codebook-entry) combinations.
+        Zero-padded layers are exact null right-singular directions of the
+        effective channel, so their SINR comes out exactly 0 and the real
+        layers' SINRs are untouched; each rank's slice then goes through the
+        same wideband/subband selection as bestPmiForRank.
+        """
         l, k, nr, nt = np.asarray(channel).shape
         if nt != self.numPorts:
             raise ValueError("Channel Nt must match the configured numPorts")
@@ -710,9 +724,21 @@ class CsiReport:
             maxRank = min(nr, 4)
         ranks = [r for r in range(1, maxRank + 1)
                  if self.cbRiRestriction[-r] == "1"]
+        idxP0 = self._csirs_p0_res()
+        hAtCsiRs = np.asarray(channel)[idxP0]               # (numREs, Nr, Nt)
+        cbs = [(r,) + tuple(self.getCodebook(r)) for r in ranks]
+        maxNl = max(ranks)
+        wPad = np.concatenate(
+            [np.pad(cb, ((0, 0), (0, 0), (0, maxNl - cb.shape[2])))
+             for _, _, cb in cbs])
+        allSinr = np.asarray(self.compute_sinr(hAtCsiRs, wPad, noiseVar))
         best = (-1e5, 0, None, None)
-        for rank in ranks:
-            pmi, ws, sbReSinr = self.bestPmiForRank(channel, rank, noiseVar)
+        off = 0
+        for rank, cbIndexes, codebook in cbs:
+            sinr = allSinr[off:off + len(codebook), :, :rank]
+            off += len(codebook)
+            pmi, ws, sbReSinr = self._pmi_select(sinr, cbIndexes, codebook,
+                                                 idxP0[1])
             sbSinr = np.asarray([s.mean(0) for s in sbReSinr])
             rankSinr = (sbSinr.mean(0) * rank).sum()
             if rankSinr > best[0]:
@@ -774,7 +800,61 @@ class CsiReport:
         return wbCqi, sbCqis
 
     def computeReport(self, channel, noiseVar):
-        """Full CRI/RI/PMI/CQI report from an estimated channel."""
-        rank, pmi, sbReSinr = self.getBestRank(channel, noiseVar)
-        wbCqi, sbCqis = self.getCQI(sbReSinr)
-        return dict(rank=rank, pmi=pmi, cqi=wbCqi, subbandCqis=sbCqis)
+        """Full CSI report honoring every validated ``quantity``.
+
+        Args:
+          channel: (L, K, Nr, numPorts) estimated channel for the CSI-RS
+            resource, or a list/tuple of such channels — one per CSI-RS
+            resource — over which CRI selects the strongest resource.
+          noiseVar: estimated noise variance at the receiver.
+
+        Quantities (TS 38.214 §5.2.1.4.2 vocabulary):
+          - CriRiPmiCqi:   cri, rank, pmi, cqi, subbandCqis
+          - CriRiLiPmiCqi: + li, the strongest-layer index w.r.t. the
+            reported PMI/RI (TS 38.214 §5.2.2.2): argmax of the mean
+            per-layer post-precoding SINR.
+          - CriRiI1 / CriRiI1Cqi: wideband i1 only (i2 subset-restricted
+            enumeration per type1SpIndexes).
+          - CriRiCqi: rank + CQI without PMI.
+          - CriRsrp / CriSinr: CSI-RSRP as the linear average of the port-0
+            CSI-RS RE power over REs and rx branches (TS 38.215 §5.1.2),
+            CSI-SINR as RSRP / noiseVar (TS 38.215 §5.1.5).
+
+        Reference behavior note: the reference VALIDATES all these
+        quantities (csifeedback.py:193-194) but never computes the LI/RSRP/
+        SINR measurements (its getEffectiveSINR, csifeedback.py:383-384, is
+        a stub); the measurements here fill that gap per the cited spec
+        sections. SSB-based quantities would need an SSB model, which
+        neither framework has — they raise NotImplementedError.
+        """
+        chans = (list(channel) if isinstance(channel, (list, tuple))
+                 else [channel])
+        idxP0 = self._csirs_p0_res()
+        rsrps = [float(np.mean(np.abs(np.asarray(h)[idxP0][..., 0]) ** 2))
+                 for h in chans]
+        cri = int(np.argmax(rsrps))
+        q = self.quantity
+        if q.startswith("Ssb"):
+            raise NotImplementedError(
+                "SSB-based report quantities need an SSB model; use one of "
+                "the Cri* quantities")
+        if q == "CriRsrp":
+            return dict(cri=cri, rsrp=rsrps[cri], rsrpDb=toDb(rsrps[cri]))
+        if q == "CriSinr":
+            sinr = rsrps[cri] / noiseVar
+            return dict(cri=cri, sinr=sinr, sinrDb=toDb(sinr))
+        rank, pmi, sbReSinr = self.getBestRank(chans[cri], noiseVar)
+        rep = dict(cri=cri, rank=rank)
+        if q in ("CriRiPmiCqi", "CriRiLiPmiCqi"):
+            rep["pmi"] = pmi
+        if q in ("CriRiI1", "CriRiI1Cqi"):
+            rep["i1"] = pmi[0]
+        if q == "CriRiLiPmiCqi":
+            layerSinr = np.concatenate(
+                [np.asarray(s) for s in sbReSinr]).mean(0)
+            rep["li"] = int(np.argmax(layerSinr))
+        if q != "CriRiI1":
+            wbCqi, sbCqis = self.getCQI(sbReSinr)
+            rep["cqi"] = wbCqi
+            rep["subbandCqis"] = sbCqis
+        return rep

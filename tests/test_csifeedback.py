@@ -121,3 +121,71 @@ def test_validation():
         CsiReport(csi, n1=2, n2=1, cqiTable=9)
     with pytest.raises(ValueError):
         CsiReport(csi, n1=2, n2=1, reportType="Bogus")
+
+
+# --------------------------------------------------------------------------
+# Report quantities beyond CriRiPmiCqi (VERDICT r1 item 6): LI, RSRP, SINR,
+# I1-only reports, multi-resource CRI selection.
+# --------------------------------------------------------------------------
+def _rand_h(rng, scale=1.0, nr=4, nt=4):
+    return scale * (rng.normal(size=(14, 288, nr, nt))
+                    + 1j * rng.normal(size=(14, 288, nr, nt))) / np.sqrt(2)
+
+
+def test_report_li_quantity():
+    rng = np.random.default_rng(5)
+    rep = make_report(2, 1, 4, quantity="CriRiLiPmiCqi")
+    h = _rand_h(rng)
+    r = rep.computeReport(h, 0.05)
+    assert 0 <= r["li"] < r["rank"]
+    assert "pmi" in r and 0 <= r["cqi"] <= 15
+    # LI must be the argmax of the mean per-layer SINR of the reported PMI
+    rank, pmi, sbReSinr = rep.getBestRank(h, 0.05)
+    layerSinr = np.concatenate([np.asarray(s) for s in sbReSinr]).mean(0)
+    assert r["li"] == int(np.argmax(layerSinr))
+
+
+def test_report_rsrp_sinr_quantities():
+    rng = np.random.default_rng(6)
+    weak, strong = _rand_h(rng, 0.5), _rand_h(rng, 2.0)
+    rep = make_report(2, 1, 4, quantity="CriRsrp")
+    r = rep.computeReport([weak, strong], 0.05)
+    assert r["cri"] == 1                      # strongest resource selected
+    assert r["rsrp"] > 0 and abs(r["rsrpDb"] - 10 * np.log10(r["rsrp"])) < 1e-9
+    rep = make_report(2, 1, 4, quantity="CriSinr")
+    r = rep.computeReport([weak, strong], 0.05)
+    assert r["cri"] == 1
+    assert abs(r["sinr"] * 0.05
+               - np.mean(np.abs(np.asarray(strong)[rep._csirs_p0_res()][..., 0]
+                                ) ** 2)) < 1e-9
+
+
+def test_report_i1_quantities():
+    rng = np.random.default_rng(7)
+    h = _rand_h(rng)
+    r1 = make_report(2, 1, 4, quantity="CriRiI1").computeReport(h, 0.05)
+    assert "i1" in r1 and "cqi" not in r1 and "pmi" not in r1
+    r2 = make_report(2, 1, 4, quantity="CriRiI1Cqi").computeReport(h, 0.05)
+    assert "i1" in r2 and 0 <= r2["cqi"] <= 15
+    r3 = make_report(2, 1, 4, quantity="CriRiCqi").computeReport(h, 0.05)
+    assert "pmi" not in r3 and 0 <= r3["cqi"] <= 15
+
+
+def test_report_ssb_raises():
+    rng = np.random.default_rng(8)
+    rep = make_report(2, 1, 4, quantity="SsbRIdxRsrp")
+    with pytest.raises(NotImplementedError):
+        rep.computeReport(_rand_h(rng), 0.05)
+
+
+def test_batched_rank_search_matches_per_rank():
+    """getBestRank's single padded SINR batch == per-rank bestPmiForRank."""
+    rng = np.random.default_rng(9)
+    rep = make_report(4, 1, 8)
+    h = _rand_h(rng, nr=4, nt=8)
+    rank, pmi, sbReSinr = rep.getBestRank(h, 0.1)
+    pmi2, _, sbReSinr2 = rep.bestPmiForRank(h, rank, 0.1)
+    assert pmi == pmi2 or (np.all(np.asarray(pmi[0]) == np.asarray(pmi2[0]))
+                           and list(pmi[1]) == list(pmi2[1]))
+    for a, b in zip(sbReSinr, sbReSinr2):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
