@@ -63,8 +63,59 @@ def run_bler_sweep(trial_fn, snrDbs, numTrials: int, seed: int = 123,
     return results
 
 
+def run_bler_grid(trial_fn, snrDbs, numTrials: int, seed: int = 123,
+                  mesh: Mesh | None = None):
+    """The whole SNR sweep as ONE sharded call over a 2-D (snr x trial) mesh.
+
+    The reference's outer SNR loop and inner slot loop (SURVEY.md §3.2)
+    both become data parallelism: trial keys shard over the mesh's 'trial'
+    axis and SNR points over its 'snr' axis; the per-point counter sums
+    reduce over 'trial' via the XLA-derived all-reduce (rides ICI within a
+    slice). Uses the same per-point keys as :func:`run_bler_sweep`, so the
+    counters match the host-loop sweep exactly.
+
+    Returns the same curve dict as :func:`run_bler_sweep`.
+    """
+    snrDbs = list(snrDbs)
+    nSnr = len(snrDbs)
+    keys = jnp.broadcast_to(make_trial_keys(seed, numTrials),
+                            (nSnr, numTrials, 2))
+    snrs = jnp.asarray(snrDbs, jnp.float32)
+
+    def grid(keys, snrs):
+        per_point = jax.vmap(lambda ks, s: jax.vmap(
+            lambda k: trial_fn(k, s))(ks))
+        m = per_point(keys, snrs)
+        return {k: jnp.sum(v, axis=1, dtype=jnp.int32) for k, v in m.items()}
+
+    if mesh is not None:
+        if "snr" in mesh.axis_names:
+            kSh = NamedSharding(mesh, P("snr", "trial"))
+            sSh = NamedSharding(mesh, P("snr"))
+        else:
+            kSh = NamedSharding(mesh, P(None, "trial"))
+            sSh = NamedSharding(mesh, P())
+        metricKeys = jax.eval_shape(
+            trial_fn, jax.random.PRNGKey(0), jnp.float32(0.0)).keys()
+        gridj = jax.jit(grid, in_shardings=(kSh, sSh),
+                        out_shardings={k: sSh for k in metricKeys})
+        keys = jax.device_put(keys, kSh)
+        snrs = jax.device_put(snrs, sSh)
+    else:
+        gridj = jax.jit(grid)
+    out = {k: np.asarray(v) for k, v in gridj(keys, snrs).items()}
+    results = {k: [int(x) for x in v] for k, v in out.items()}
+    results["snrDbs"] = snrDbs
+    results["ber"] = [be / max(b, 1) for be, b in
+                      zip(results["bitErrors"], results["bits"])]
+    results["bler"] = [be / max(b, 1) for be, b in
+                       zip(results["blockErrors"], results["blocks"])]
+    return results
+
+
 def default_mesh(shape: tuple[int, ...] = None, axes: tuple[str, ...] = ("trial",)):
-    """Create a mesh over all available devices (1-D 'trial' by default)."""
+    """Create a mesh over all available devices (1-D 'trial' by default;
+    pass e.g. shape=(2, 4), axes=('snr', 'trial') for a 2-D sweep mesh)."""
     devs = np.array(jax.devices())
     if shape is None:
         shape = (len(devs),)

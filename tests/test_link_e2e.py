@@ -175,3 +175,18 @@ def test_multislot_time_vs_freq_statistical():
         diff = abs(int(mT["blockErrors"].sum()) - int(mF["blockErrors"].sum()))
         assert diff <= 4, (int(mT["blockErrors"].sum()),
                            int(mF["blockErrors"].sum()))
+
+
+def test_grid_sweep_matches_host_loop(awgn_sim):
+    """ONE sharded (snr x trial) call == the host-loop sweep, counter for
+    counter, on a 2x4 mesh and on a 1-D trial mesh."""
+    from neoradium_tpu.sim.sweep import run_bler_grid
+    fn = awgn_sim.make_trial_fn()
+    snrs = [0.5, 1.0, 1.5, 2.5]
+    ref = run_bler_sweep(fn, snrs, numTrials=8)
+    for mesh in (default_mesh((2, 4), ("snr", "trial")),
+                 default_mesh(), None):
+        got = run_bler_grid(fn, snrs, numTrials=8, mesh=mesh)
+        assert got["bitErrors"] == ref["bitErrors"]
+        assert got["blockErrors"] == ref["blockErrors"]
+        assert got["bler"] == ref["bler"]

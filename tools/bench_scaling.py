@@ -1,0 +1,102 @@
+"""Multi-device scaling harness for the sharded Monte-Carlo sweep.
+
+Runs a fixed PDSCH BLER workload (4 SNR points x 64 trials, CDL-C fading,
+perfect chEst) through ``run_bler_grid`` on an (snr x trial) mesh at 1/2/4/8
+devices and reports trials/s. Each device count runs in a fresh subprocess
+(``xla_force_host_platform_device_count`` must be set before JAX init).
+
+On this machine the devices are VIRTUAL CPU devices sharing the same
+physical cores, so the numbers measure *sharding overhead* (a flat curve =
+the partitioned program adds no cost), not hardware speedup — real ICI
+scaling needs a multi-chip TPU slice (BASELINE.md "≥85% 2-host scaling").
+Counters are also checked identical across device counts. Results are
+written to SCALING.md.
+
+Usage: python tools/bench_scaling.py [--child N]
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(n: int):
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+    sys.path.insert(0, REPO)
+    import time
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+    from neoradium_tpu.carrier import CarrierConfig
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
+    from neoradium_tpu.sim.link import PdschLinkSim
+    from neoradium_tpu.sim.sweep import run_bler_grid, default_mesh
+
+    assert len(jax.devices()) == n
+    car = CarrierConfig(numRbs=24, spacing=30)
+    ch = CdlChannel(car, "C", delaySpread=100, dopplerShift=20,
+                    txAntenna=AntennaPanel((2, 1), polarization="x"),
+                    rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=1),
+                       codeRate=490 / 1024, domain="freq", channelModel=ch,
+                       chEst="perfect", decoderIter=4)
+    fn = sim.make_trial_fn()
+    snrs, numTrials = [3.0, 6.0, 9.0, 12.0], 64
+    if n == 1:
+        mesh = None
+    elif n == 2:
+        mesh = default_mesh((1, 2), ("snr", "trial"))
+    else:
+        mesh = default_mesh((2, n // 2), ("snr", "trial"))
+    run_bler_grid(fn, snrs, numTrials, mesh=mesh)          # compile warmup
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        res = run_bler_grid(fn, snrs, numTrials, mesh=mesh)
+    dt = (time.time() - t0) / reps
+    print(json.dumps(dict(devices=n, seconds=dt,
+                          trials_per_s=len(snrs) * numTrials / dt,
+                          blockErrors=res["blockErrors"])))
+
+
+def main():
+    rows = []
+    for n in (1, 2, 4, 8):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True, text=True, check=True,
+            cwd=REPO, env={**os.environ})
+        rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(rows[-1])
+    base = rows[0]["trials_per_s"]
+    assert all(r["blockErrors"] == rows[0]["blockErrors"] for r in rows), \
+        "counters differ across device counts"
+    lines = ["# Sharded-sweep scaling (virtual CPU devices)", "",
+             "Workload: 4 SNR x 64 trials PDSCH BLER (CDL-C, 2x2, 16QAM,",
+             "R=490/1024, decoderIter=4) via `run_bler_grid` on an",
+             "(snr x trial) mesh. Virtual CPU devices share physical cores:",
+             "this measures SHARDING OVERHEAD (flat = free partitioning),",
+             "not hardware speedup; counters verified identical at every",
+             "device count. See tools/bench_scaling.py.", "",
+             "| devices | mesh | s/sweep | trials/s | vs 1 dev |",
+             "|---|---|---|---|---|"]
+    for r in rows:
+        n = r["devices"]
+        mesh = {1: "-", 2: "1x2"}.get(n, f"2x{n // 2}")
+        lines.append(f"| {n} | {mesh} | {r['seconds']:.2f} | "
+                     f"{r['trials_per_s']:.1f} | "
+                     f"{r['trials_per_s'] / base:.2f}x |")
+    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+    else:
+        main()
