@@ -256,6 +256,69 @@ class ChannelBase:
         out = jnp.einsum("srtp,...pts->...rs", gainsPerSample.astype(y.dtype), y)
         return out
 
+    def apply_to_signal_sharded(self, waveform, state, mesh,
+                                slotNo: int = 0, axisName: str = "sample"):
+        """Distributed :meth:`apply_to_signal`: overlap-save FFT convolution
+        with a ``ppermute`` halo exchange over a device mesh.
+
+        The TPU-native equivalent of the reference's monolithic lfilter path
+        (reference channelmodel.py:403-448; halo size = getMaxDelay,
+        channelmodel.py:196-205, SURVEY.md §5): the sample stream shards
+        over ``mesh.axis_names[axisName]``, each device convolves its block
+        plus a left halo of ``coeffLen - 1`` samples fetched from its
+        neighbor with one ``ppermute``, and the per-symbol gain mix uses the
+        pre-gathered per-sample gains, themselves sharded over samples — so
+        no collective is needed after the halo exchange and the result
+        equals the single-device path up to FFT-size float association.
+
+        Args:
+          waveform: (..., nt, ns); leading dims are replicated.
+          mesh: jax.sharding.Mesh containing ``axisName``.
+        Returns (..., nr, ns) on the same sample sharding.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
+        ns = waveform.shape[-1]
+        cm = np.asarray(self.slot_cm(slotNo))
+        pp, cl = cm.shape
+        halo = cl - 1
+        D = mesh.shape[axisName]
+        nb = -(-ns // D)                                   # block length
+        pad = nb * D - ns
+        if pad:
+            waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1)
+                               + [(0, pad)])
+        symLens = self.sym_lens(slotNo)
+        symIdx = np.repeat(np.arange(len(symLens)), symLens)[: nb * D]
+        if nb * D > symLens.sum():
+            symIdx = np.append(symIdx, np.full(nb * D - symLens.sum(),
+                                               len(symLens) - 1))
+        gps = gains1[jnp.asarray(symIdx)]                  # (ns', nr, nt, pp)
+        nfft = int(2 ** np.ceil(np.log2(nb + halo + cl)))
+        C = jnp.fft.fft(jnp.asarray(cm), nfft, axis=-1)    # (pp, nfft)
+
+        def block_fn(wf, g):
+            # wf: (..., nt, nb) local block; g: (nb, nr, nt, pp) local gains
+            tail = wf[..., -halo:] if halo else wf[..., :0]
+            left = jax.lax.ppermute(tail, axisName,
+                                    [(i, i + 1) for i in range(D - 1)])
+            padded = jnp.concatenate([left, wf], axis=-1)  # (..., nt, nb+halo)
+            X = jnp.fft.fft(padded, nfft, axis=-1)
+            y = jnp.fft.ifft(X[..., None, :, :] * C[:, None, :],
+                             axis=-1)[..., halo: halo + nb]
+            return jnp.einsum("srtp,...pts->...rs", g.astype(y.dtype), y)
+
+        lead = (None,) * (waveform.ndim - 2)
+        out = shard_map(block_fn, mesh=mesh,
+                        in_specs=(P(*lead, None, axisName), P(axisName)),
+                        out_specs=P(*lead, None, axisName))(
+            jax.device_put(waveform,
+                           NamedSharding(mesh, P(*lead, None, axisName))),
+            jax.device_put(gps, NamedSharding(mesh, P(axisName))))
+        return out[..., :ns] if pad else out
+
     def timing_offset(self, state, slotNo=0):
         gains1 = self.slot_gains(state, slotNo)
         _, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
