@@ -541,3 +541,103 @@ class DeepMimoData:
             ax.plot(xy[:, 0], xy[:, 1], "k.-", markersize=2)
         plt.colorbar(im, ax=ax)
         return ax
+
+    def animateTrajectory(self, trajectory, numGraphs=0, graphCallback=None,
+                          mapType="LOS-NLOS", pointsPerFrame=10,
+                          fileName=None):
+        """Animate a UE moving along ``trajectory`` on the scenario map, with
+        up to 3 callback-drawn graphs below (reference deepmimo.py:1185-1320,
+        including the callback protocol: ``graphCallback(request, ax,
+        trajectory, points)`` with request "Config" once, then "Draw" per
+        frame with the (previous, current) point indices).
+
+        Returns a ``matplotlib.animation.FuncAnimation``; with ``fileName``
+        also saves a GIF (PillowWriter)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+        if numGraphs > 3:
+            raise ValueError("This function supports up to 3 graphs")
+        figSize = (6, 4 + 4 * numGraphs / 3)
+        if numGraphs > 0:
+            fig, ax = plt.subplots(1 + numGraphs, 1, figsize=figSize,
+                                   gridspec_kw={"height_ratios":
+                                                [4] + numGraphs * [1]})
+            axMap, axGraphs = ax[0], ax[1:]
+        else:
+            fig, axMap = plt.subplots(figsize=figSize)
+            axGraphs = []
+        self.drawMap(mapType, ax=axMap)
+        point, = axMap.plot([], [], "bo", markersize=5)
+        if numGraphs > 0:
+            graphCallback("Config", axGraphs, trajectory)
+
+        def animate(p):
+            p0, p1 = (p - 1) * pointsPerFrame, p * pointsPerFrame
+            x, y = trajectory.points[p1].xyz[:2]
+            point.set_data([x], [y])
+            if p > 0:
+                axMap.plot([trajectory.points[p0].xyz[0], x],
+                           [trajectory.points[p0].xyz[1], y],
+                           "black", linewidth=1)
+                if numGraphs > 0:
+                    graphCallback("Draw", axGraphs, trajectory, (p0, p1))
+            return (point,)
+
+        plt.tight_layout()
+        frameMs = 1000.0 * pointsPerFrame * trajectory.time / trajectory.numPoints
+        anim = animation.FuncAnimation(
+            fig, animate, frames=trajectory.numPoints // pointsPerFrame,
+            interval=int(np.round(frameMs)), blit=True, repeat=False)
+        plt.close()
+        if fileName is not None:
+            fps = int(min(np.round(1000.0 / frameMs), 30))
+            anim.save(fileName, writer=animation.PillowWriter(fps=max(fps, 1)))
+        return anim
+
+    def interactiveTrajPoints(self, mapType="LOS-NLOS", backEnd=None,
+                              figSize=6):
+        """Pick trajectory points by clicking on the scenario map (reference
+        deepmimo.py:1322-1433): left-click appends a point, right-click
+        removes the last one, closing the window finishes. Returns the
+        clicked (x, y) points as a float array — feed them to
+        :meth:`trajectoryFromPoints`.
+
+        Deviation: the reference generates a temp python file and runs it in
+        a subprocess (deepmimo.py:1390-1427); we run the event loop
+        in-process (``backEnd`` switches the matplotlib backend first when
+        given), which behaves the same without the codegen round-trip."""
+        import matplotlib
+        if backEnd is not None:
+            matplotlib.use(backEnd)
+        import matplotlib.pyplot as plt
+        titles = {"LOS-NLOS": "Map of LOS/NLOS paths",
+                  "1stPathDelays": "Delay of first path (ns)",
+                  "1stPathPowers": "Power of first path (dB)"}
+        if mapType not in titles:
+            raise ValueError(f"Unsupported mapType {mapType!r}")
+        ax = self.drawMap(mapType, figSize=figSize)
+        fig = ax.figure
+        ax.set_title(titles[mapType] + "\nClick on the map to add trajectory "
+                                       "points")
+        points = []
+
+        def onClick(event):
+            x, y = event.xdata, event.ydata
+            if x is None or y is None:
+                return
+            if event.button == 1:
+                if points:
+                    ax.plot([points[-1][0], x], [points[-1][1], y], "blue")
+                else:
+                    ax.plot(x, y, "bo")
+                points.append((x, y))
+            elif event.button == 3 and points:
+                points.pop()
+                if points:
+                    ax.plot([points[-1][0], x], [points[-1][1], y], "grey")
+            fig.canvas.draw_idle()
+
+        fig.canvas.mpl_connect("button_press_event", onClick)
+        plt.show(block=True)
+        print(f"Done. {len(points)} points selected.")
+        return np.float64(points)

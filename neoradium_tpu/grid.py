@@ -56,23 +56,37 @@ def retRegister(name: str) -> int:
 
 
 class HostGrid:
-    """Host-side planning grid: complex values + RE-type ids (NumPy only)."""
+    """Host-side planning grid: complex values + RE-type ids (NumPy only).
 
-    def __init__(self, numPlanes: int, numSymbols: int, numSubcarriers: int):
+    With ``useReDesc=True`` every assignment also records a per-RE string
+    descriptor (reference grid.py:187-191, 324-341) — a debugging aid for
+    inspecting exactly what landed on each resource element."""
+
+    def __init__(self, numPlanes: int, numSymbols: int, numSubcarriers: int,
+                 useReDesc: bool = False):
         self.grid = np.zeros((numPlanes, numSymbols, numSubcarriers), np.complex128)
         self.reTypeIds = np.full((numPlanes, numSymbols, numSubcarriers),
                                  RET["UNASSIGNED"], np.uint8)
+        self.reDesc = (np.full(self.grid.shape, "UNASSIGNED", np.dtype("<U20"))
+                       if useReDesc else None)
 
     @property
     def shape(self):
         return self.grid.shape
 
-    def set(self, p, l, k, value, retName: str):
+    def set(self, p, l, k, value, retName: str, desc: str | None = None):
         self.grid[p, l, k] = value
         self.reTypeIds[p, l, k] = RET[retName]
+        if self.reDesc is not None:
+            self.reDesc[p, l, k] = desc if desc is not None else retName
 
     def re_type_at(self, p, l, k) -> str:
         return RE_TYPES[self.reTypeIds[p, l, k]]
+
+    def re_desc_at(self, p, l, k) -> str:
+        if self.reDesc is None:
+            raise ValueError("Grid was built without useReDesc=True")
+        return str(self.reDesc[p, l, k])
 
     def indexes_of(self, retName: str):
         return np.where(self.reTypeIds == RET[retName])

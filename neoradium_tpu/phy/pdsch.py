@@ -437,6 +437,25 @@ class PdschSlotPlan:
             cInit = cfg.rnti * (1 << 15) + q * (1 << 14) + cfg.nID
             self.scrambleSeq.append(gold_sequence(cInit, self.bitSizes[q]).astype(np.int8))
 
+    def re_descriptors(self) -> np.ndarray:
+        """(P, L, K) per-RE string descriptors (reference ``useReDesc``,
+        grid.py:187-191): type names for pilot/reserved REs and
+        ``CW{q}-{i}`` for data REs, where ``i`` is the RE's position in
+        codeword ``q``'s modulated-symbol stream (reference pdsch.py:924-932)
+        — i.e. exactly where each rate-matched symbol lands.
+
+        Deviation: the reference additionally tags the DMRS/CSI-RS OCC sign
+        ("DMRS,+" / "DMRS,-", dmrs.py:534-535); the sign is recoverable from
+        ``pilotGrid`` so we keep the plain type name here."""
+        P, L, K = self.shape
+        desc = np.empty((P, L, K), np.dtype("<U20"))
+        for rid, name in enumerate(RE_TYPES):
+            desc[self.reTypeIds == rid] = name
+        flatDesc = desc.reshape(-1)
+        for q, fi in enumerate(self.flatIdxPerCW):
+            flatDesc[fi] = [f"CW{q}-{i}" for i in range(len(fi))]
+        return desc
+
     # --------------------------------------------------------------- device
     def populate(self, bits, baseGrid=None) -> jnp.ndarray:
         """bits: array (..., G0) for 1 CW, or list/tuple of arrays per CW.

@@ -91,3 +91,35 @@ def test_pdsch_validation_errors():
     with pytest.raises(ValueError):
         PdschConfig(car, prbSet=list(range(20, 26)))
     PdschConfig(car, prbSet=list(range(20, 25)))  # 24 == numRbs-1 is valid
+
+
+def test_re_descriptors():
+    """useReDesc parity: per-RE string descriptors (reference grid.py:187-191
+    + pdsch.py:924-932 CW labels)."""
+    cfg, plan = _build(list(CASES)[0])
+    desc = plan.re_descriptors()
+    assert desc.shape == plan.shape
+    from neoradium_tpu.grid import RE_TYPES
+    # every non-data RE keeps its type name; every data RE gets CW labels
+    for name in ("DMRS",):
+        mask = plan.reTypeIds == list(RE_TYPES).index(name)
+        assert np.all(desc[mask] == name)
+    dataMask = plan.reTypeIds == list(RE_TYPES).index("PDSCH")
+    labels = desc[dataMask]
+    assert all(lb.startswith("CW") for lb in labels)
+    # labels enumerate the codeword symbol stream exactly once
+    for q, fi in enumerate(plan.flatIdxPerCW):
+        got = desc.reshape(-1)[fi]
+        assert list(got) == [f"CW{q}-{i}" for i in range(len(fi))]
+
+
+def test_host_grid_re_desc():
+    from neoradium_tpu.grid import HostGrid
+    hg = HostGrid(1, 2, 4, useReDesc=True)
+    hg.set(0, 0, 1, 1.0, "DMRS")
+    hg.set(0, 1, 2, 0.5, "PDSCH", desc="CW0-7")
+    assert hg.re_desc_at(0, 0, 1) == "DMRS"
+    assert hg.re_desc_at(0, 1, 2) == "CW0-7"
+    assert hg.re_desc_at(0, 0, 0) == "UNASSIGNED"
+    with pytest.raises(ValueError):
+        HostGrid(1, 2, 4).re_desc_at(0, 0, 0)

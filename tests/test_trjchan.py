@@ -161,3 +161,51 @@ def test_waypoint_trajectory(scenario):
         [[0.5, 0.5], [5.0, 0.5], [5.0, 5.0]], car, speedMps=5.0)
     assert traj.numPoints > 10
     assert traj.totalDist > 8.0
+
+
+def test_animate_trajectory(tmp_path, channel):
+    """animateTrajectory parity (reference deepmimo.py:1185-1320): FuncAnimation
+    over the scenario map, Config/Draw callback protocol, GIF export."""
+    import matplotlib
+    matplotlib.use("Agg")
+    car, traj, ch = channel
+    # build a small DeepMimoData-like grid from synthetic points
+    pts = synth_points(12, 4, True, car.slotLen(0), seed=11)
+    for i, p in enumerate(pts):
+        p.xyz = np.asarray([float(i % 4), float(i // 4), 1.5])
+    dm = DeepMimoData.__new__(DeepMimoData)
+    dm.allTrjPoints = pts
+    dm.gridSize = (4, 3)
+    dm.xyMin, dm.xyMax = np.asarray([0.0, 0.0]), np.asarray([3.0, 2.0])
+    dm.bsXyz = np.asarray([0.0, 0.0, 10.0])
+
+    calls = []
+
+    def cb(request, ax, trajectory, points=None):
+        calls.append(request)
+        assert len(ax) == 1
+        if request == "Draw":
+            assert points[1] - points[0] == 2
+
+    gif = tmp_path / "trj.gif"
+    anim = dm.animateTrajectory(traj, numGraphs=1, graphCallback=cb,
+                                pointsPerFrame=2, fileName=str(gif))
+    assert anim is not None
+    assert calls[0] == "Config" and "Draw" in calls
+    assert gif.exists() and gif.stat().st_size > 0
+
+
+def test_interactive_traj_points_headless(channel):
+    import matplotlib
+    matplotlib.use("Agg")
+    car, traj, ch = channel
+    pts = synth_points(4, 3, True, car.slotLen(0), seed=12)
+    dm = DeepMimoData.__new__(DeepMimoData)
+    dm.allTrjPoints = pts
+    dm.gridSize = (2, 2)
+    dm.xyMin, dm.xyMax = np.asarray([0.0, 0.0]), np.asarray([1.0, 1.0])
+    dm.bsXyz = np.asarray([0.0, 0.0, 10.0])
+    out = dm.interactiveTrajPoints()          # Agg: window closes instantly
+    assert out.shape[0] == 0
+    with pytest.raises(ValueError):
+        dm.interactiveTrajPoints(mapType="bogus")
