@@ -17,7 +17,7 @@ Feature parity target: InterDigitalInc/NeoRadium v0.4.0 (see SURVEY.md).
 
 __version__ = "0.1.0"
 
-from .carrier import CarrierConfig, SAMPLE_RATE
+from .carrier import Carrier, CarrierConfig, SAMPLE_RATE
 from .modulation import Modem
 from .utils import toDb, toLinear, getMse, getNmse
 from .sequences import gold_sequence

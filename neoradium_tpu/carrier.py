@@ -148,3 +148,113 @@ class CarrierConfig:
     @property
     def dataTimeRatio(self) -> float:
         return self.nFFT / self.symbolLensSubframe.mean()
+
+
+class Carrier:
+    """A carrier holding one or more bandwidth parts + host-side counters.
+
+    Mirrors the reference ``Carrier`` (carrier.py:313-471): an ordered list
+    of bandwidth parts (our :class:`CarrierConfig` is the BandwidthPart
+    equivalent) with one active at a time, plus the ``slotNo``/``frameNo``
+    simulation counters. The counters are host-side bookkeeping ONLY —
+    traced simulation loops carry slot numbers in their ``lax.scan`` carry
+    instead (sim/harq.py pattern); device code keeps taking the active
+    :class:`CarrierConfig` explicitly.
+
+    Args:
+      startRb, numRbs, cellId: carrier-wide parameters.
+      bwps: explicit list of CarrierConfig bandwidth parts; when omitted a
+        single BWP covering the whole carrier is created from the remaining
+        kwargs (spacing, cpType).
+      curBwpIndex: index of the initially active bandwidth part.
+      dcLocation: DC subcarrier location (0..3299, or 3300 = outside).
+    """
+
+    _BWP_PASSTHROUGH = ("symbolsPerSlot", "slotsPerSubFrame", "slotsPerFrame",
+                        "symbolsPerSubFrame", "spacing", "cpType", "nFFT",
+                        "numSubcarriers", "sampleRate")
+
+    def __init__(self, startRb: int = 0, numRbs: int = 50, cellId: int = 1,
+                 bwps=None, curBwpIndex: int = 0, dcLocation: int = 0, **bwpKw):
+        self.startRb = int(startRb)
+        self.numRbs = int(numRbs)
+        self.cellId = int(cellId)
+        if bwps is None:
+            bwps = [CarrierConfig(numRbs=numRbs, startRb=startRb,
+                                  cellId=cellId, **bwpKw)]
+        self.bwps = list(bwps)
+        if not self.bwps:
+            raise ValueError("Carrier needs at least one bandwidth part")
+        if not all(isinstance(b, CarrierConfig) for b in self.bwps):
+            raise ValueError("bwps must be CarrierConfig instances")
+        if not 0 <= curBwpIndex < len(self.bwps):
+            raise ValueError(f"curBwpIndex must be in [0, {len(self.bwps)})")
+        self.curBwpIndex = int(curBwpIndex)
+        if not 0 <= dcLocation <= 3300:
+            raise ValueError("dcLocation must be in [0, 3300]")
+        self.dcLocation = int(dcLocation)
+        self.slotNo = 0
+        self.frameNo = 0
+
+    # ------------------------------------------------------------- BWPs
+    @property
+    def curBwp(self) -> CarrierConfig:
+        return self.bwps[self.curBwpIndex]
+
+    def addBwp(self, **kwargs) -> CarrierConfig:
+        """Create a new bandwidth part on this carrier and return it."""
+        kwargs.setdefault("numRbs", self.numRbs)
+        kwargs.setdefault("startRb", self.startRb)
+        kwargs.setdefault("cellId", self.cellId)
+        bwp = CarrierConfig(**kwargs)
+        self.bwps.append(bwp)
+        return bwp
+
+    def setCurBwp(self, index: int):
+        """Switch the active bandwidth part (reference curBwpIndex)."""
+        if not 0 <= index < len(self.bwps):
+            raise ValueError(f"BWP index must be in [0, {len(self.bwps)})")
+        self.curBwpIndex = int(index)
+
+    def __getattr__(self, name):
+        if name in Carrier._BWP_PASSTHROUGH:
+            return getattr(self.curBwp, name)
+        raise AttributeError(f"Carrier has no attribute {name!r}")
+
+    # --------------------------------------------------------- counters
+    def restart(self):
+        self.slotNo = 0
+        self.frameNo = 0
+
+    def goNext(self):
+        """Advance the slot counter; wraps frameNo every slotsPerFrame."""
+        self.slotNo += 1
+        if self.slotNo % self.curBwp.slotsPerFrame == 0:
+            self.frameNo += 1
+
+    @property
+    def frameNoRel(self) -> int:
+        return (self.frameNo
+                + self.slotNo // self.curBwp.slotsPerFrame) % 1024
+
+    @property
+    def slotNoInFrame(self) -> int:
+        return self.slotNo % self.curBwp.slotsPerFrame
+
+    @property
+    def slotNoInSubFrame(self) -> int:
+        return self.slotNo % self.curBwp.slotsPerSubFrame
+
+    # ------------------------------------------------------------- grid
+    def createGrid(self, numPorts: int, useReDesc: bool = False):
+        """Empty host planning grid on the active BWP (reference
+        carrier.py:465-471)."""
+        from .grid import HostGrid
+        bwp = self.curBwp
+        return HostGrid(numPorts, bwp.symbolsPerSlot, bwp.numSubcarriers,
+                        useReDesc=useReDesc)
+
+    def __repr__(self):
+        return (f"Carrier(numRbs={self.numRbs}, cellId={self.cellId}, "
+                f"bwps={len(self.bwps)}, curBwpIndex={self.curBwpIndex}, "
+                f"slotNo={self.slotNo})")

@@ -163,3 +163,47 @@ def test_ofdm_batched_leading_axes():
     assert wf.shape == (3, 2, ctx.numSamples)
     rx = ctx.demodulate(wf)
     assert rx.shape == grid.shape
+
+
+# --------------------------------------------------------------------------
+# Multi-BWP Carrier (reference carrier.py:313-471)
+# --------------------------------------------------------------------------
+def test_carrier_multi_bwp():
+    from neoradium_tpu import Carrier, CarrierConfig
+    car = Carrier(numRbs=51, spacing=30, cellId=7)
+    assert len(car.bwps) == 1 and car.curBwp.numRbs == 51
+    assert car.symbolsPerSlot == 14 and car.slotsPerSubFrame == 2
+    bwp2 = car.addBwp(numRbs=24, spacing=60)
+    assert len(car.bwps) == 2 and bwp2.cellId == 7
+    car.setCurBwp(1)
+    assert car.curBwp is bwp2 and car.slotsPerSubFrame == 4
+    # counters
+    car.setCurBwp(0)
+    for _ in range(car.slotsPerFrame + 1):
+        car.goNext()
+    assert car.frameNo == 1 and car.slotNoInFrame == 1
+    car.restart()
+    assert car.slotNo == 0 and car.frameNo == 0
+    # grid on the active BWP
+    g = car.createGrid(2, useReDesc=True)
+    assert g.shape == (2, 14, 51 * 12)
+    assert g.re_desc_at(0, 0, 0) == "UNASSIGNED"
+    # explicit BWP list
+    car2 = Carrier(bwps=[CarrierConfig(numRbs=11), CarrierConfig(numRbs=12)],
+                   curBwpIndex=1)
+    assert car2.curBwp.numRbs == 12
+
+
+def test_carrier_validation():
+    from neoradium_tpu import Carrier
+    with pytest.raises(ValueError):
+        Carrier(bwps=[])
+    with pytest.raises(ValueError):
+        Carrier(curBwpIndex=3)
+    with pytest.raises(ValueError):
+        Carrier(dcLocation=9999)
+    car = Carrier()
+    with pytest.raises(ValueError):
+        car.setCurBwp(5)
+    with pytest.raises(AttributeError):
+        car.bogusProperty
