@@ -116,3 +116,61 @@ def test_nPCwm_config_usable():
     rm = enc.encode_tb(txb)
     out, errs = dec.decode_tb((1.0 - 2.0 * rm.astype(jnp.float32)) * 5)
     assert np.array_equal(np.asarray(out), np.asarray(txb)) and int(errs) == 0
+
+
+@pytest.mark.parametrize("tag", ["dci2", "pbch"])
+def test_repetition_combining_is_encoder_consistent(tag, golden):
+    """Anchor for the repetition soft-combine path (no reference anchor
+    exists — the reference decoder crashes for e >= N): rate recovery must
+    accumulate, for every coded bit n, exactly the LLRs of the transmit
+    positions that the ENCODER's rate matching assigned to bit n. Extracting
+    the encoder's position map via an arange probe makes the test fail if
+    either side's interleaving or combining drifts."""
+    a, e, dt = CASES[tag]
+    cfg = PolarConfig(a, e, dt)
+    enc, dec = PolarEncoder(cfg), PolarDecoder(cfg)
+    n = cfg.polarCodeSize
+    posMap = np.asarray(enc.rate_match(jnp.arange(n)[None])).reshape(-1)
+    assert posMap.shape == (e,) and posMap.max() < n
+    rng = np.random.default_rng(3)
+    llrs = rng.normal(size=e)
+    expected = np.zeros(n)
+    np.add.at(expected, posMap, llrs)
+    got = np.asarray(dec.recover_rate(jnp.asarray(llrs)))[0]
+    assert np.abs(got - expected).max() < 1e-9
+
+
+def test_repetition_combining_gain():
+    """Soft combining must rescue bits whose FIRST copy is wrong: flip the
+    base-copy LLRs of every repeated position (weight 1) and send the
+    repeat with weight 3 — combined belief is correct (+2), single copy is
+    wrong on all e-N repeated positions and must fail."""
+    a, e, dt = CASES["dci2"]
+    cfg = PolarConfig(a, e, dt)
+    enc, dec = PolarEncoder(cfg), PolarDecoder(cfg)
+    n = cfg.polarCodeSize
+    posMap = np.asarray(enc.rate_match(jnp.arange(n)[None])).reshape(-1)
+    rng = np.random.default_rng(11)
+    txb = rng.integers(0, 2, a).astype(np.int8)
+    rm = np.asarray(enc.encode_tb(jnp.asarray(txb))).flatten()
+    good = (1.0 - 2.0 * rm) * 4.0
+    llrs = good.copy()
+    repeated = np.isin(posMap, posMap[n:])      # both copies of repeated bits
+    firstCopy = repeated & (np.arange(e) < n)
+    llrs[firstCopy] = -good[firstCopy] / 4.0    # wrong, weight 1
+    llrs[n:] = good[n:] * 3.0 / 4.0             # right, weight 3
+    out, errs = dec.decode_tb(jnp.asarray(llrs))
+    assert int(errs) == 0 and np.array_equal(np.asarray(out), txb)
+    # at the rate-recovery level the combining must have FLIPPED the belief
+    # of every repeated bit (wrong weight-1 first copy + right weight-3
+    # repeat -> net correct), while the single copy keeps the wrong sign
+    codedBits = np.zeros(n, np.int8)
+    codedBits[posMap] = rm            # coded bit value at each codeword idx
+    repIdx = posMap[n:]
+    rec = np.asarray(dec.recover_rate(jnp.asarray(llrs)))[0]
+    single = llrs.copy()
+    single[n:] = 0.0
+    recSingle = np.asarray(dec.recover_rate(jnp.asarray(single)))[0]
+    want = 1.0 - 2.0 * codedBits[repIdx]
+    assert np.all(np.sign(rec[repIdx]) == want)
+    assert np.all(np.sign(recSingle[repIdx]) == -want)
