@@ -38,5 +38,6 @@ from .channels import (AntennaElement, AntennaPanel, AntennaArray, ChannelBase,
                        CdlChannel, TdlChannel, TrjPoint, Trajectory,
                        TrjChannel, DeepMimoData)
 from .rx import mmse_equalize, LsChannelEstimator
-from .sim import (PdschLinkSim, run_bler_sweep, make_trial_keys, PdschHarqSim,
-                  HarqConfig, SnrScheduler)
+from .sim import (PdschLinkSim, run_bler_sweep, run_bler_grid, make_trial_keys,
+                  PdschHarqSim, HarqConfig, HarqEntity, harq_stats,
+                  SnrScheduler)

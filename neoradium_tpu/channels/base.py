@@ -232,29 +232,65 @@ class ChannelBase:
                         symMapSlot: int | None = None):
         """waveform (..., nt, ns) -> received (..., nr, ns).
 
-        FFT-based linear convolution over all paths at once, then per-symbol
-        gain mix (reference applyToSignal:403-448). The per-sample symbol map
-        is a static gather: ``slotNo`` must be a host int, OR pass a traced
-        ``slotNo`` (for the gain times) together with a host-int
-        ``symMapSlot`` giving the slot-in-subframe CP pattern to use (callers
-        scan over slots and lax.switch over the distinct patterns).
+        Symbol-blocked overlap-save convolution with per-symbol CIRs
+        (reference applyToSignal:403-448 semantics: the path gains are
+        constant within each OFDM symbol, keyed by the OUTPUT sample's
+        symbol). Because the gains are per-symbol, the per-path gain mix
+        folds into one short per-symbol CIR (nr, nt, cl) BEFORE the
+        convolution: each symbol block convolves against its own CIR with a
+        left halo of cl-1 samples — ~10x less FFT work and ~50x less memory
+        than the monolithic all-paths FFT over the whole slot (no
+        (paths, nt, nfft) intermediate).
+
+        The per-sample symbol map is a static gather: ``slotNo`` must be a
+        host int, OR pass a traced ``slotNo`` (for the gain times) together
+        with a host-int ``symMapSlot`` giving the slot-in-subframe CP
+        pattern to use (callers scan over slots and lax.switch over the
+        distinct patterns).
         """
         gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
         ns = waveform.shape[-1]
-        cm = self.slot_cm(slotNo)
+        cm = jnp.asarray(self.slot_cm(slotNo))             # (pp, cl)
         pp, cl = cm.shape
-        nfft = int(2 ** np.ceil(np.log2(ns + cl)))
-        X = jnp.fft.fft(waveform, nfft, axis=-1)               # (..., nt, nfft)
-        C = jnp.fft.fft(jnp.asarray(cm), nfft, axis=-1)        # (pp, nfft)
-        y = jnp.fft.ifft(X[..., None, :, :] * C[:, None, :], axis=-1)[..., :ns]
-        # y: (..., pp, nt, ns)
-        symLens = self.sym_lens(slotNo if symMapSlot is None else symMapSlot)
-        symIdx = np.repeat(np.arange(len(symLens)), symLens)[:ns]
+        halo = cl - 1
+        symLens = np.asarray(
+            self.sym_lens(slotNo if symMapSlot is None else symMapSlot),
+            np.int64)
+        # host-side block table: one block per OFDM symbol; channel-delay
+        # pad samples past the last symbol boundary extend the final block
+        # (they take the last symbol's gains, as in the reference)
+        starts = np.concatenate([[0], np.cumsum(symLens)[:-1]])
+        lens = symLens.copy()
         if ns > symLens.sum():
-            symIdx = np.append(symIdx, np.full(ns - symLens.sum(), len(symLens) - 1))
-        gainsPerSample = gains1[jnp.asarray(symIdx)]           # (ns, nr, nt, pp)
-        out = jnp.einsum("srtp,...pts->...rs", gainsPerSample.astype(y.dtype), y)
-        return out
+            lens[-1] += ns - symLens.sum()
+        elif ns < symLens.sum():
+            keep = starts < ns
+            starts, lens = starts[keep], lens[keep].copy()
+            lens[-1] = ns - starts[-1]
+        nb = len(starts)
+        lmax = int(lens.max())
+        nfft = int(2 ** np.ceil(np.log2(halo + lmax + cl)))
+        # gather blocks with their left halo; idx < 0 is the true zero
+        # prefix of the stream. Reads past a block's own end (right overrun
+        # up to lmax, real samples of the NEXT block) only influence conv
+        # outputs we discard, so only the left mask is needed.
+        idx = starts[:, None] - halo + np.arange(halo + lmax)[None, :]
+        mask = jnp.asarray(idx >= 0, waveform.dtype)
+        blocks = waveform[..., jnp.asarray(np.clip(idx, 0, ns - 1))] * mask
+        # per-block CIR -> frequency response (tiny einsum + short FFTs)
+        gIdx = np.minimum(np.arange(nb), len(symLens) - 1)
+        g = gains1[jnp.asarray(gIdx)]                      # (nb, nr, nt, pp)
+        c = jnp.einsum("brtp,pl->brtl", g, cm.astype(g.dtype))
+        C = jnp.fft.fft(c, nfft, axis=-1)                  # (nb, nr, nt, f)
+        X = jnp.fft.fft(blocks, nfft, axis=-1)             # (..., nt, nb, f)
+        Y = jnp.einsum("...tbf,brtf->...brf", X, C)        # (..., nb, nr, f)
+        y = jnp.fft.ifft(Y, axis=-1)[..., halo: halo + lmax]
+        # static scatter back to the sample stream
+        bOf = np.searchsorted(starts, np.arange(ns), side="right") - 1
+        flat = (bOf * lmax + (np.arange(ns) - starts[bOf])).astype(np.int32)
+        y2 = jnp.swapaxes(y, -3, -2)                       # (..., nr, nb, lmax)
+        y2 = y2.reshape(y2.shape[:-2] + (nb * lmax,))
+        return y2[..., jnp.asarray(flat)]
 
     def apply_to_signal_sharded(self, waveform, state, mesh,
                                 slotNo: int = 0, axisName: str = "sample"):

@@ -96,3 +96,42 @@ def test_bler_curve_parity(fx, chEst):
         # monotone waterfall sanity on our side
     bler = [e / max(n, 1) for e, n in zip(res["blockErrors"], res["blocks"])]
     assert all(a >= b - 0.05 for a, b in zip(bler, bler[1:]))
+
+
+# --------------------------------------------------------------------------
+# TIME-domain channel path parity: same gate, through OFDM + fractional-delay
+# filtering + timing sync (fixture: tools/make_golden.py:bler_curve_td,
+# the MLChestDataGen.ipynb pipeline with the nFFT MATLAB noise convention).
+# --------------------------------------------------------------------------
+GOLDEN_TD = os.path.join(os.path.dirname(__file__), "golden",
+                         "bler_curve_td.npz")
+
+
+def test_bler_curve_parity_time_domain():
+    fx = np.load(GOLDEN_TD)
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
+                      dopplerShift=5,
+                      txAntenna=AntennaPanel((2, 2), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=2),
+                       codeRate=490 / 1024, domain="time", channelModel=chan,
+                       chEst="perfect", decoderIter=8, useRxPower=False)
+    res = run_bler_sweep(sim.make_trial_fn(), list(fx["snrs"]),
+                         numTrials=NUM_TRIALS)
+    counts = fx["counts"]
+    cbPerTb = int(counts[0][3] // counts[0][1])
+    for i, snr in enumerate(fx["snrs"]):
+        tbE, tbN, cbE, cbN = counts[i]
+        zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i])
+        zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],
+                         deff=cbPerTb)
+        assert zTb < 3.0, (
+            f"TD @ {snr} dB TB-BLER: ref {tbE}/{tbN}={tbE/tbN:.3f} vs ours "
+            f"{res['blockErrors'][i]}/{res['blocks'][i]}"
+            f"={res['blockErrors'][i]/res['blocks'][i]:.3f} (z={zTb:.2f})")
+        assert zCb < 3.0, (
+            f"TD @ {snr} dB CB-BLER: ref {cbE}/{cbN}={cbE/cbN:.3f} vs ours "
+            f"{res['cbErrors'][i]}/{res['cbs'][i]}"
+            f"={res['cbErrors'][i]/res['cbs'][i]:.3f} (z={zCb:.2f})")

@@ -112,7 +112,7 @@ def main():
     point_fn = make_point_fn(sim.make_trial_fn())
     # the TD path holds a (batch, paths, nt, nfft) complex FFT-conv
     # intermediate (~25 MB per trial at 51 RB / 8 TX): cap the batch
-    tdBatch = min(batch, 128)
+    tdBatch = min(2 * batch, 512)
     keys = make_trial_keys(7, tdBatch)
     snr = jnp.float32(6.0)
 

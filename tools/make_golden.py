@@ -537,6 +537,70 @@ def bler_curve():
     np.savez_compressed(f"{OUT}/bler_curve.npz", **out)
 
 
+def bler_curve_td():
+    """Reference TB/CB error counters for the TIME-domain channel pipeline
+    (ofdmModulate -> pad(maxDelay) -> applyToSignal -> addNoise(nFFT=) ->
+    sync(getTimingOffset) -> ofdmDemodulate, the MLChestDataGen.ipynb flow),
+    perfect chEst, ensemble sampling (fresh seeded channel per slot)."""
+    from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
+    from neoradium import random as refrandom
+    from neoradium.ldpc import LdpcEncoder
+
+    # MATLAB-convention noise (rxPower assumed 1/nr): the per-realization
+    # channel gain spread dominates, so the waterfall is shallow and sits
+    # ~10 dB below the useRxPower one
+    SNRS = [-4.0, -2.0, 0.0]
+    NUM_SLOTS = 200
+    out = {"numSlots": np.array(NUM_SLOTS), "snrs": np.array(SNRS)}
+    errs = []
+    for snrDb in SNRS:
+        refrandom.setSeed(123)
+        carrier = Carrier(numRbs=51, spacing=30)
+        bwp = carrier.curBwp
+        pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                      nID=carrier.cellId, modulation="16QAM")
+        pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+        enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=2,
+                          targetRate=490 / 1024)
+        dec = enc.getDecoder()
+        cbErrors = cbTotal = tbErrors = 0
+        for slotNo in range(NUM_SLOTS):
+            channel = CdlChannel(
+                bwp, "C", delaySpread=300, carrierFreq=4e9,
+                dopplerShift=5, seed=1000 + slotNo,
+                txAntenna=AntennaPanel([2, 2], polarization="x"),
+                rxAntenna=AntennaPanel([1, 1], polarization="x"))
+            grid = pdsch.getGrid()
+            tbs = pdsch.getTxBlockSize(490 / 1024)
+            txBlock = refrandom.bits(tbs[0])
+            numBits = pdsch.getBitSizes(grid)
+            rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
+            pdsch.populateGrid(grid, rm)
+            idx = pdsch.getReIndexes(grid, "PDSCH")
+            H = channel.getChannelMatrix()
+            F = pdsch.getPrecodingMatrix(H)
+            txWf = grid.precode(F).ofdmModulate()
+            txWf = txWf.pad(channel.getMaxDelay())
+            rxWf = channel.applyToSignal(txWf)
+            noisy = rxWf.addNoise(snrDb=snrDb, nFFT=bwp.nFFT)
+            synced = noisy.sync(channel.getTimingOffset())
+            rxGrid = synced.ofdmDemodulate(bwp)   # noiseVar auto-scales xnFFT
+            hEst = H @ F[None, ...]
+            eqGrid, scales = rxGrid.equalize(hEst)
+            llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+            rec = dec.recoverRate(llrs[0], tbs[0])
+            decoded = dec.decode(rec, numIter=8)
+            _, crcMatch = dec.checkCrcAndMerge(decoded)
+            cbErrors += len(crcMatch) - sum(crcMatch)
+            cbTotal += len(crcMatch)
+            tbErrors += int(not all(crcMatch))
+        errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
+        print(f"  bler_curve_td SNR {snrDb}: tb {tbErrors}/{NUM_SLOTS} "
+              f"cb {cbErrors}/{cbTotal}")
+    out["counts"] = np.array(errs, dtype=np.int64)
+    np.savez_compressed(f"{OUT}/bler_curve_td.npz", **out)
+
+
 def harq_anchor():
     """The throughput-notebook anchor: 1000-slot HARQ run, faithful replica.
 
@@ -603,7 +667,7 @@ def harq_anchor():
     np.savez_compressed(f"{OUT}/harq_anchor.npz", **out)
 
 
-ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest,
+ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest, bler_curve_td,
                   tdl, polar, csirs, csifb, ptrs, bler_curve, harq_anchor]
 
 if __name__ == "__main__":
