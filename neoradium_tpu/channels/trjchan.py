@@ -176,17 +176,11 @@ class TrjChannel(ChannelBase):
         plan = self._device_plan()
         return jnp.asarray(plan["cmStack"])[self._check_slot(slotNo)]
 
-    # ChannelBase.channel_matrix / apply_to_signal / timing_offset now work
-    # unchanged through the slot_gains/slot_cm hooks, but keep the trajectory
-    # signature (no state argument needed — the channel is deterministic).
-    def channel_matrix(self, state=None, slotNo: int = 0):
-        return super().channel_matrix(state, slotNo)
-
-    def apply_to_signal(self, waveform, state=None, slotNo: int = 0):
-        return super().apply_to_signal(waveform, state, slotNo)
-
-    def timing_offset(self, state=None, slotNo: int = 0):
-        return super().timing_offset(state, slotNo)
+    # ChannelBase.channel_matrix / apply_to_signal / timing_offset work
+    # unchanged through the slot_gains/slot_cm hooks (the channel is
+    # deterministic, so state=None is simply ignored by the base methods).
+    # No overrides: re-declaring them here once dropped base kwargs like
+    # apply_to_signal's symMapSlot, breaking domain='time' multislot sims.
 
     # ------------------------------------------------------------- datasets
     def chan_seq_gen(self, seqPeriod: int = 1, seqLen: int = 10,

@@ -209,3 +209,18 @@ def test_interactive_traj_points_headless(channel):
     assert out.shape[0] == 0
     with pytest.raises(ValueError):
         dm.interactiveTrajPoints(mapType="bogus")
+
+
+def test_td_multislot_sim_with_trajectory(channel):
+    """Regression: TrjChannel once re-declared apply_to_signal without the
+    base symMapSlot kwarg, so any domain='time' multislot/HARQ sim raised
+    TypeError at trace time (sim/link.py td_channel_rx passes symMapSlot=r).
+    """
+    from neoradium_tpu.sim.link import PdschLinkSim
+    car, traj, ch = channel
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="QPSK"),
+                       domain="time", channelModel=ch, decoderIter=3)
+    fn = jax.jit(sim.make_multislot_fn(2))
+    out = fn(jax.random.PRNGKey(0), jnp.float32(30.0))
+    assert int(out["blocks"]) > 0
+    assert int(out["bitErrors"]) >= 0
