@@ -71,8 +71,20 @@ def run_bler_grid(trial_fn, snrDbs, numTrials: int, seed: int = 123,
     both become data parallelism: trial keys shard over the mesh's 'trial'
     axis and SNR points over its 'snr' axis; the per-point counter sums
     reduce over 'trial' via the XLA-derived all-reduce (rides ICI within a
-    slice). Uses the same per-point keys as :func:`run_bler_sweep`, so the
-    counters match the host-loop sweep exactly.
+    slice). Uses the same per-point trial keys as :func:`run_bler_sweep`.
+
+    Determinism contract: the grid is a DIFFERENT compiled graph from the
+    host-loop's per-point function (an extra vmapped SNR axis changes XLA's
+    fusion/tiling), and XLA does not guarantee bitwise-identical float
+    rounding across compilations. Structural counters (``bits``, ``blocks``,
+    ``cbs``) are exact; error counters (``bitErrors``, ``blockErrors``,
+    ``cbErrors``) agree except that a *marginal* decode — one the LDPC
+    decoder barely wins or loses — may flip with the last-ulp rounding of
+    its LLR chain, machine- and XLA-version-dependently. Both paths are
+    individually deterministic (same machine, same jax: rerunning
+    reproduces the counters bit for bit); the tolerance is only across the
+    two compilations. See tests/test_link_e2e.py::test_grid_sweep_matches
+    _host_loop for the quantified gate.
 
     Returns the same curve dict as :func:`run_bler_sweep`.
     """

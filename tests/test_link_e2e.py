@@ -178,15 +178,33 @@ def test_multislot_time_vs_freq_statistical():
 
 
 def test_grid_sweep_matches_host_loop(awgn_sim):
-    """ONE sharded (snr x trial) call == the host-loop sweep, counter for
-    counter, on a 2x4 mesh and on a 1-D trial mesh."""
+    """ONE sharded (snr x trial) call vs the host-loop sweep, on a 2x4 mesh,
+    a 1-D trial mesh, and unsharded.
+
+    Contract (sim/sweep.py run_bler_grid docstring): structural counters are
+    EXACT; error counters may differ only by marginal-decode flips, because
+    the grid is a different XLA compilation from the per-point function and
+    last-ulp LLR rounding is not guaranteed identical across compilations
+    (observed in the wild: 3/2661 bitErrors at the lowest SNR on one
+    machine, bit-identical on another). Gate: blockErrors within 1 block
+    per point, error-free points exactly error-free, bitErrors within the
+    bit-count of one code block per point."""
     from neoradium_tpu.sim.sweep import run_bler_grid
     fn = awgn_sim.make_trial_fn()
     snrs = [0.5, 1.0, 1.5, 2.5]
     ref = run_bler_sweep(fn, snrs, numTrials=8)
+    cbBits = awgn_sim.tbs[0] // awgn_sim.ldpc[0][0].cfg.numCodeBlocks + 64
     for mesh in (default_mesh((2, 4), ("snr", "trial")),
                  default_mesh(), None):
         got = run_bler_grid(fn, snrs, numTrials=8, mesh=mesh)
-        assert got["bitErrors"] == ref["bitErrors"]
-        assert got["blockErrors"] == ref["blockErrors"]
-        assert got["bler"] == ref["bler"]
+        assert got["blocks"] == ref["blocks"]
+        assert got["bits"] == ref["bits"]
+        assert got["cbs"] == ref["cbs"]
+        for p in range(len(snrs)):
+            assert abs(got["blockErrors"][p] - ref["blockErrors"][p]) <= 1
+            if ref["blockErrors"][p] == 0:
+                # no marginal decodes above the waterfall: exact
+                assert got["blockErrors"][p] == 0
+                assert got["bitErrors"][p] == ref["bitErrors"][p] == 0
+            else:
+                assert abs(got["bitErrors"][p] - ref["bitErrors"][p]) <= cbBits
