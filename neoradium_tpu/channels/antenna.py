@@ -156,7 +156,14 @@ class AntennaArray:
 
     def __init__(self, shape=(1, 1), panel: AntennaPanel | None = None, **kwargs):
         self.shape = tuple(int(x) for x in shape)
+        # reference API spells the template kwarg "panels" (antenna.py:1890);
+        # accept both, and don't silently swallow a mistyped template.
+        if panel is None:
+            panel = kwargs.pop("panels", None)
         template = panel if panel is not None else AntennaPanel()
+        unknown = set(kwargs) - {"spacing"}
+        if unknown:
+            raise ValueError(f"Unknown AntennaArray argument(s): {sorted(unknown)}")
         spacing = kwargs.get("spacing")
         if spacing is None:
             spacing = np.asarray(template.shape) * np.asarray(template.spacing)
@@ -286,6 +293,12 @@ class _PatternMixin:
     def getPowerPattern(self, theta=None, phi=None, weights=None):
         return np.square(self.getField(theta, phi, weights))
 
+    def getPowerPatternDb(self, theta=None, phi=None, weights=None):
+        """Field power pattern in dB, floored at -120 dB
+        (reference getPowerPatternDb:362-411)."""
+        from ..utils import toDb
+        return toDb(np.maximum(1e-12, self.getPowerPattern(theta, phi, weights)))
+
     def getFieldPattern(self, theta=None, phi=None):
         """(nEl, nTheta, nPhi) per-element fields (no polarization) used by
         the directivity integral (reference antenna.py:140-189)."""
@@ -404,7 +417,8 @@ AntennaElement.positions = _element_positions
 AntennaElement.getNumElements = _element_num
 
 for _name in ("getSteeringVector", "_element_polarized", "getPolarizedFields",
-              "getField", "getPowerPattern", "getFieldPattern", "getMaxDim",
+              "getField", "getPowerPattern", "getPowerPatternDb",
+              "getFieldPattern", "getMaxDim",
               "getIntegralAngleStep", "getDirectivity", "drawRadiation"):
     setattr(AntennaElement, _name, getattr(_PatternMixin, _name))
     setattr(AntennaPanel, _name, getattr(_PatternMixin, _name))

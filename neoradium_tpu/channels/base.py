@@ -200,7 +200,7 @@ class ChannelBase:
         return self.coeffMatrix
 
     # ------------------------------------------------------------- outputs
-    def channel_matrix(self, state, slotNo=0):
+    def channel_matrix(self, state=None, slotNo=0):
         """(L, K, nr, nt) frequency-domain channel for one slot.
 
         ``slotNo`` may be traced (see :meth:`gain_times`)."""
@@ -228,7 +228,7 @@ class ChannelBase:
         h = (h * ramp).reshape(nc, nr, nt, K)
         return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
 
-    def apply_to_signal(self, waveform, state, slotNo: int = 0,
+    def apply_to_signal(self, waveform, state=None, slotNo: int = 0,
                         symMapSlot: int | None = None):
         """waveform (..., nt, ns) -> received (..., nr, ns).
 
@@ -292,7 +292,7 @@ class ChannelBase:
         y2 = y2.reshape(y2.shape[:-2] + (nb * lmax,))
         return y2[..., jnp.asarray(flat)]
 
-    def apply_to_signal_sharded(self, waveform, state, mesh,
+    def apply_to_signal_sharded(self, waveform, state=None, mesh=None,
                                 slotNo: int = 0, axisName: str = "sample"):
         """Distributed :meth:`apply_to_signal`: overlap-save FFT convolution
         with a ``ppermute`` halo exchange over a device mesh.
@@ -313,7 +313,14 @@ class ChannelBase:
         Returns (..., nr, ns) on the same sample sharding.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
+
+        if mesh is None:
+            raise ValueError("apply_to_signal_sharded needs a Mesh "
+                             "containing the sample axis")
+        if axisName not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {axisName!r} "
+                             f"(axes: {mesh.axis_names})")
 
         gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
         ns = waveform.shape[-1]
@@ -322,6 +329,14 @@ class ChannelBase:
         halo = cl - 1
         D = mesh.shape[axisName]
         nb = -(-ns // D)                                   # block length
+        if halo > nb:
+            # The halo exchange fetches from the immediate neighbor only; a
+            # longer channel would need samples from further away and the
+            # slice below would silently mis-align the overlap-save blocks.
+            raise ValueError(
+                f"channel memory ({halo} samples) exceeds the per-device "
+                f"block ({nb} samples); shard over at most "
+                f"{max(1, ns // max(halo, 1))} devices for this waveform")
         pad = nb * D - ns
         if pad:
             waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1)
@@ -355,7 +370,7 @@ class ChannelBase:
             jax.device_put(gps, NamedSharding(mesh, P(axisName))))
         return out[..., :ns] if pad else out
 
-    def timing_offset(self, state, slotNo=0):
+    def timing_offset(self, state=None, slotNo=0):
         gains1 = self.slot_gains(state, slotNo)
         _, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
         return offset

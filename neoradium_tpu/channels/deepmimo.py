@@ -278,89 +278,108 @@ class DeepMimoData:
         return np.asarray([self.allTrjPoints[i].xyz[:2] for i in idx]).squeeze()
 
     # --------------------------------------------------------- random walks
+    # Headings are indices into 45-degree steps CCW from +X; walls are
+    # numbered 0=west(x=min), 1=south(y=min), 2=east(x=max), 3=north(y=max)
+    # so that _WALLS_AHEAD[h] is the set of walls a heading runs toward.
+    _HEADING_STEP = np.asarray([(1, 0), (1, 1), (0, 1), (-1, 1),
+                                (-1, 0), (-1, -1), (0, -1), (1, -1)], np.int64)
+    _WALLS_AHEAD = ({2}, {2, 3}, {3}, {0, 3}, {0}, {0, 1}, {1}, {1, 2})
+    _DIR_HEADING = {"+X": 0, "+Y": 2, "-X": 4, "-Y": 6}
+
+    def _step_allowed(self, pos, heading, bounds, segLen):
+        """Is a segment ending at grid position ``pos`` with ``heading``
+        inside the walk's safety margins?
+
+        Decision semantics are parity-forced (bit-identical walks vs
+        reference isBadMove, deepmimo.py:761-779, verified by
+        tools/dev/cmp_deepmimo.py): a step is rejected when it leaves the
+        bounds; when a diagonal heading points exactly into a corner (the
+        two walls ahead — and no others — are within 2*segLen); or when a
+        straight heading gets within segLen of the wall ahead.
+        """
+        margins = np.asarray([pos[0] - bounds[0, 0], pos[1] - bounds[0, 1],
+                              bounds[1, 0] - pos[0], bounds[1, 1] - pos[1]])
+        if margins.min() < 0:
+            return False
+        ahead = self._WALLS_AHEAD[heading]
+        if len(ahead) == 2:                       # diagonal: corner check
+            close = {w for w in range(4) if margins[w] < 2 * segLen}
+            return close != ahead
+        return margins[next(iter(ahead))] >= segLen
+
     def getRandomGridTraj(self, xyBounds, segLen, trajLen, xyStart=None,
                           prob=None, trajDir="All", rng=None):
-        """Random walk on the grid (reference getRandomGridTraj:707-803)."""
+        """Random walk on the scenario grid in ``segLen``-point segments.
+
+        Each iteration draws one turn action (-1 right / 0 straight /
+        +1 left, probabilities ``prob``) and commits a segment if the move
+        passes :meth:`_step_allowed`; rejected draws are simply retried,
+        which is what shapes the walk away from walls. In directed modes
+        ('+X'/'-X'/'+Y'/'-Y') the heading may deviate at most 45 degrees
+        from the main direction, so at the extreme headings the action set
+        shrinks to 2 (with renormalized probabilities). Behavioral parity:
+        reference getRandomGridTraj (deepmimo.py:707-803) — same RNG draw
+        sequence, bit-identical trajectories (tools/dev/cmp_deepmimo.py).
+        """
         if rng is None:
             rng = np.random.default_rng()
-        minXy = np.maximum(self.xyMin, xyBounds[0])
-        maxXy = np.minimum(self.xyMax, xyBounds[1])
-        bounds = np.asarray([self.xyToGridXy(minXy), self.xyToGridXy(maxXy)])
-        if isinstance(trajLen, (int, np.integer)):
-            trajDist = np.inf
-        else:
-            trajDist, trajLen = trajLen, 100000000
-        if xyStart is None:
-            mid = bounds.mean(0).astype(np.int64)
-            start = {"+X": np.asarray([bounds[0, 0], mid[1]]),
-                     "-X": np.asarray([bounds[1, 0], mid[1]]),
-                     "+Y": np.asarray([mid[0], bounds[0, 1]]),
-                     "-Y": np.asarray([mid[0], bounds[1, 1]]),
-                     "All": np.asarray([mid[0], bounds[0, 1]])}[trajDir]
-        else:
-            start = np.minimum(np.maximum(bounds[0] + 2 * segLen,
-                                          self.xyToGridXy(xyStart)),
-                               bounds[1] - 2 * segLen)
-        deltas = {0: (1, 0), 45: (1, 1), 90: (0, 1), 135: (-1, 1),
-                  180: (-1, 0), 225: (-1, -1), 270: (0, -1), 315: (1, -1)}
-        traj = [np.int64(start)]
-        if trajDir == "+X":
-            trajLen, curDir = min(trajLen, bounds[1, 0] - start[0] - segLen), 0
-        elif trajDir == "-X":
-            trajLen, curDir = min(trajLen, start[0] - bounds[0, 0] - segLen), 180
-        elif trajDir == "+Y":
-            trajLen, curDir = min(trajLen, bounds[1, 1] - start[1] - segLen), 90
-        elif trajDir == "-Y":
-            trajLen, curDir = min(trajLen, start[1] - bounds[0, 1] - segLen), 270
-        else:
-            curDir = 0
         if prob is not None and (len(prob) != 3 or abs(sum(prob) - 1) > 1e-9):
             raise ValueError("'prob' must be 3 probabilities summing to 1")
-        allowedTurns = {"+X": {45: "NoLeft", 315: "NoRight", 0: "All"},
-                        "-X": {225: "NoLeft", 135: "NoRight", 180: "All"},
-                        "+Y": {135: "NoLeft", 45: "NoRight", 90: "All"},
-                        "-Y": {315: "NoLeft", 225: "NoRight", 270: "All"}}
+        lo = self.xyToGridXy(np.maximum(self.xyMin, xyBounds[0]))
+        hi = self.xyToGridXy(np.minimum(self.xyMax, xyBounds[1]))
+        bounds = np.asarray([lo, hi])
+        maxDist = np.inf
+        if not isinstance(trajLen, (int, np.integer)):
+            maxDist, trajLen = trajLen, 100000000
 
-        def bad_move(newXY, newDir):
-            corner = {0: (-1, -1), 45: (2, 3), 90: (-1, -1), 135: (0, 3),
-                      180: (-1, -1), 225: (0, 1), 270: (-1, -1), 315: (1, 2)}
-            border = {0: 2, 45: -1, 90: 3, 135: -1, 180: 0, 225: -1,
-                      270: 1, 315: -1}
-            closeness = ((bounds - newXY) * [[-1], [1]]).flatten()
-            if np.any(closeness < 0):
-                return True
-            if corner[newDir] == tuple(np.where(closeness < 2 * segLen)[0]):
-                return True
-            if border[newDir] in tuple(np.where(closeness < segLen)[0]):
-                return True
-            return False
+        base = self._DIR_HEADING.get(trajDir)     # None for "All"
+        heading = 0 if base is None else base
+        if xyStart is not None:
+            start = np.clip(self.xyToGridXy(xyStart),
+                            lo + 2 * segLen, hi - 2 * segLen)
+        else:
+            start = bounds.mean(0).astype(np.int64)
+            if base is None or trajDir == "+Y":
+                start[1] = lo[1]                  # center bottom
+            elif trajDir == "-Y":
+                start[1] = hi[1]
+            else:                                 # +-X: middle of a side
+                start[0] = lo[0] if trajDir == "+X" else hi[0]
+        if base is not None:
+            # cap the walk so a directed trajectory can always finish
+            ax = 0 if trajDir in ("+X", "-X") else 1
+            room = (hi[ax] - start[ax] if trajDir in ("+X", "+Y")
+                    else start[ax] - lo[ax])
+            trajLen = min(trajLen, room - segLen)
 
+        traj = [np.asarray(start, np.int64)]
         dist = 0.0
         while len(traj) < trajLen:
-            if trajDir == "All":
+            if base is None:
                 action = rng.choice([-1, 0, 1], p=prob)
             else:
-                turns = allowedTurns[trajDir][curDir]
-                if turns == "NoLeft":
+                rel = (heading - base) % 8
+                if rel == 1:                      # at max-left deviation
                     p2 = None if prob is None else (
-                        prob[0] / (prob[0] + prob[1]), prob[1] / (prob[0] + prob[1]))
+                        prob[0] / (prob[0] + prob[1]),
+                        prob[1] / (prob[0] + prob[1]))
                     action = rng.choice([-1, 0], p=p2)
-                elif turns == "NoRight":
+                elif rel == 7:                    # at max-right deviation
                     p2 = None if prob is None else (
-                        prob[1] / (prob[1] + prob[2]), prob[2] / (prob[1] + prob[2]))
+                        prob[1] / (prob[1] + prob[2]),
+                        prob[2] / (prob[1] + prob[2]))
                     action = rng.choice([0, 1], p=p2)
                 else:
                     action = rng.choice([-1, 0, 1], p=prob)
-            newDir = (curDir + int(action) * 45) % 360
-            newXY = traj[-1] + segLen * np.int64(deltas[newDir])
-            if bad_move(newXY, newDir):
+            nextHeading = (heading + int(action)) % 8
+            step = self._HEADING_STEP[nextHeading]
+            if not self._step_allowed(traj[-1] + segLen * step,
+                                      nextHeading, bounds, segLen):
                 continue
-            traj += [traj[-1] + (s + 1) * np.int64(deltas[newDir])
-                     for s in range(segLen)]
-            curDir = newDir
-            dist += self.delta[0] * segLen * np.sqrt(
-                np.square(deltas[newDir]).sum())
-            if dist > trajDist:
+            traj.extend([traj[-1] + (s + 1) * step for s in range(segLen)])
+            heading = nextHeading
+            dist += self.delta[0] * segLen * float(np.hypot(*step))
+            if dist > maxDist:
                 break
         return np.asarray(traj[:trajLen])
 

@@ -620,15 +620,24 @@ class CsiReport:
     # ---------------------------------------------------------- measurement
     @staticmethod
     def removeNeighbors(idx):
-        """Keep one RE per CDM-group cluster (reference :405-417)."""
-        bmp = np.full((idx[0].max() + 3, idx[1].max() + 3), 2, np.int8)
-        bmp[(idx[0] + 1, idx[1] + 1)] = 1
-        x, y = np.where(bmp[:, 1:] - bmp[:, :-1] != -1)
-        bmp[(x, y + 1)] = 2
-        x, y = np.where(bmp[1:, :] - bmp[:-1, :] != -1)
-        bmp[(x + 1, y)] = 2
-        x, y = np.where(bmp == 1)
-        return (x - 1, y - 1)
+        """Pick one representative RE per cluster of adjacent CSI-RS REs.
+
+        A CDM group occupies a contiguous block of REs (2 adjacent
+        subcarriers by 1/2/4 adjacent OFDM symbols, TS 38.211 Table
+        7.4.1.5.3-1), and the estimator averages within a group (meanCdm),
+        so the measurement needs only one RE per block. Behavior matches
+        reference csifeedback.py:405-417 (which erodes a bitmap): keep an
+        RE iff it starts its horizontal run (no RE at k-1) and no other
+        run-starter sits directly above it (l-1), i.e. the top-left member
+        of each cluster. Returned in row-major (l, k) order like np.where.
+        """
+        pts = set(zip(idx[0].tolist(), idx[1].tolist()))
+        starts = {(l, k) for (l, k) in pts if (l, k - 1) not in pts}
+        keep = sorted(p for p in starts if (p[0] - 1, p[1]) not in starts)
+        if not keep:
+            return (np.asarray([], np.int64), np.asarray([], np.int64))
+        ls, ks = map(np.asarray, zip(*keep))
+        return (ls, ks)
 
     @staticmethod
     def compute_sinr(h, w, noiseVar):

@@ -6,6 +6,12 @@ machine (HarqCW.update harq.py:181-204: try counter, rv from rvSequence,
 timeout at maxTries), round-robin process entity (goNext harq.py:626-634),
 statistics (txBits/rxBits per try, throughput/BLER/meanTries
 harq.py:599-612), RXSUCCESS/RXFAILED/TIMEOUT events (harq.py:459-473).
+Deviation: on a final-try failure the reference eventCallback fires both
+RXFAILED and TIMEOUT for the same transmission (harq.py:193-197); rx_step
+emits one event code per (codeword, step) — TIMEOUT alone — because a
+jittable step returns fixed-shape outputs. Callers needing the reference's
+dual-event stream can reconstruct it from ``out['ok']``/``out['timeout']``
+(a timeout always implies the decode failed).
 Soft combining happens in LDPC rate recovery by accumulating into the
 circular decode buffer (reference ldpc.py:1377-1412 ==
 ``LdpcDecoder.recover_rate(softBuffer=...)`` here).

@@ -1,9 +1,11 @@
 """Trajectory channel + DeepMIMO tests.
 
-TrjChannel golden parity vs the reference was established with synthetic
-trajectories (tools/dev/cmp_trjchan.py at 1e-9, tools/dev/cmp_deepmimo.py:
-interpolation and random walks bit-identical); these tests lock in the
-behavior with self-contained fixtures (no reference import).
+Two tiers: self-consistency (shapes, continuity, TD==FD, blockage) and
+committed reference-golden parity — channel matrices / TD application /
+timing at 1e-9 and bit-identical walks+interpolation against fixtures from
+``tools/make_golden.py`` (generators ``trjchan`` / ``deepmimo_golden``;
+the dev scripts tools/dev/cmp_trjchan.py, cmp_deepmimo.py drive the same
+comparisons against the live reference).
 """
 import numpy as np
 import jax
@@ -224,3 +226,80 @@ def test_td_multislot_sim_with_trajectory(channel):
     out = fn(jax.random.PRNGKey(0), jnp.float32(30.0))
     assert int(out["blocks"]) > 0
     assert int(out["bitErrors"]) >= 0
+
+
+# ======================================================================
+# Reference golden parity (fixtures from tools/make_golden.py: trjchan /
+# deepmimo_golden — the committed form of the dev parity scripts)
+# ======================================================================
+GOLDEN = __import__("os").path.join(__import__("os").path.dirname(__file__),
+                                    "golden")
+
+
+@pytest.mark.parametrize("tag", ["nlos", "los"])
+def test_trjchan_golden_parity(tag):
+    """Channel matrices over 3 slots, TD application, and timing offset
+    match the reference TrjChannel at 1e-9 (reference trjchan.py:876-990)."""
+    d = np.load(f"{GOLDEN}/trjchan.npz")
+    car = CarrierConfig(numRbs=12, spacing=30)
+    slotSamples = car.slotLen(0)
+    pts = [TrjPoint([i * 0.5, 0.0, 1.5], 1 if tag == "los" else 0,
+                    d[f"{tag}_pathInfo"][i], 10.0, 0, [3.0, 1.0, 0.0],
+                    i * slotSamples) for i in range(4)]
+    ch = TrjChannel(car, Trajectory(pts, 3.5e9),
+                    txAntenna=AntennaPanel((2, 2), polarization="x"),
+                    rxAntenna=AntennaPanel((1, 2), polarization="|"))
+    for slot in range(3):
+        h = np.asarray(ch.channel_matrix(slotNo=slot))
+        ref = d[f"{tag}_h"][slot]
+        err = np.abs(h - ref).max() / np.abs(ref).max()
+        assert err < 1e-9, (tag, slot, err)
+    y = np.asarray(ch.apply_to_signal(jnp.asarray(d[f"{tag}_sig"]), slotNo=0))
+    err = np.abs(y - d[f"{tag}_y"]).max() / np.abs(d[f"{tag}_y"]).max()
+    assert err < 1e-9, (tag, err)
+    assert int(ch.timing_offset(slotNo=0)) == int(d[f"{tag}_offset"])
+
+
+@pytest.fixture(scope="module")
+def deepmimo_fixture():
+    d = np.load(f"{GOLDEN}/deepmimo.npz")
+    pts = [TrjPoint(d["xyz"][i], 1, d["pathInfo"][i], d["dist"][i], 0)
+           for i in range(len(d["xyz"]))]
+    dm = DeepMimoData.fromPoints(pts, 3.5e9, d["bsXyz"],
+                                 tuple(d["gridSize"]), d["delta"])
+    return d, dm
+
+
+def test_deepmimo_interpolation_golden(deepmimo_fixture):
+    """Path-matched per-slot interpolation is bit/1e-9 identical to the
+    reference (reference deepmimo.py:833-945)."""
+    d, dm = deepmimo_fixture
+    car = CarrierConfig(numRbs=12, spacing=30)
+    traj = dm.interpolateTrajectory([int(i) for i in d["interp_idx"]], 5.0, car)
+    assert traj.numPoints == len(d["interp_xyz"])
+    for i, p in enumerate(traj):
+        assert np.abs(p.xyz - d["interp_xyz"][i]).max() < 1e-9
+        assert p.sampleNo == int(d["interp_sampleNo"][i])
+        assert np.abs(p.speed - d["interp_speed"][i]).max() < 1e-9
+        assert p.hasLos == int(d["interp_hasLos"][i])
+        assert np.abs(p.pathInfo - d["interp_pathInfo"][i]).max() < 1e-8
+
+
+@pytest.mark.parametrize("tag,kw", [
+    ("pX", dict(trajDir="+X")), ("mX", dict(trajDir="-X")),
+    ("pY", dict(trajDir="+Y")), ("mY", dict(trajDir="-Y")),
+    ("all", dict(trajDir="All")),
+    ("prob", dict(trajDir="All", prob=(0.2, 0.5, 0.3))),
+    ("dist", dict(trajDir="All", trajLen=6.0))])
+def test_deepmimo_random_walk_golden(deepmimo_fixture, tag, kw):
+    """Random grid walks are bit-identical to the reference under the same
+    PCG64 stream (reference deepmimo.py:707-803; reference RNG seed n ==
+    np.random.default_rng(np.random.PCG64(n)))."""
+    d, dm = deepmimo_fixture
+    kw = dict(kw)
+    n = kw.pop("trajLen", 24)
+    i = ["pX", "mX", "pY", "mY", "all", "prob", "dist"].index(tag)
+    rng = np.random.default_rng(np.random.PCG64(1000 + i))
+    walk = dm.getRandomGridTraj(np.array([[0, 0], [11, 7]]), 2, n,
+                                rng=rng, **kw)
+    assert np.array_equal(walk, d[f"walk_{tag}"]), tag

@@ -80,4 +80,21 @@ myGrid = mine.getRandomGridTraj(np.array([[0, 0], [12, 8]]), 2, 20,
                                 trajDir="+X", rng=myRng)
 assert np.array_equal(refGrid, myGrid), (refGrid, myGrid)
 print("getRandomGridTraj: identical walk with same PCG64 seed")
+
+# 2b. every walk mode: directed +-X/+-Y, free "All", custom prob, xyStart,
+#     and distance-valued trajLen — all must be bit-identical
+cases = [dict(trajDir=d) for d in ("+X", "-X", "+Y", "-Y", "All")]
+cases += [dict(trajDir="All", prob=(0.2, 0.5, 0.3)),
+          dict(trajDir="+Y", prob=(0.1, 0.8, 0.1)),
+          dict(trajDir="All", xyStart=np.array([2.0, 2.0])),
+          dict(trajDir="All", trajLen=6.0)]
+for i, kw in enumerate(cases):
+    n = kw.pop("trajLen", 24)
+    refrandom.setSeed(1000 + i)
+    myRng = np.random.default_rng(np.random.PCG64(1000 + i))
+    r = ref.getRandomGridTraj(np.array([[0, 0], [11, 7]]), 2, n, **kw)
+    m = mine.getRandomGridTraj(np.array([[0, 0], [11, 7]]), 2, n,
+                               rng=myRng, **kw)
+    assert np.array_equal(r, m), (kw, r, m)
+print(f"getRandomGridTraj: {len(cases)} mode/prob/start/distance cases identical")
 print("DEEPMIMO MATCH OK")

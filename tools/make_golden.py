@@ -667,8 +667,223 @@ def harq_anchor():
     np.savez_compressed(f"{OUT}/harq_anchor.npz", **out)
 
 
+def trjchan():
+    """Reference TrjChannel on synthetic trajectories: channel matrices over
+    3 slots, TD application, timing offsets, for NLOS and LOS cases.
+
+    The synthetic points mirror tools/dev/cmp_trjchan.py (NLOS phases zero:
+    the reference applies them in degrees — documented bug — so nonzero
+    phases cannot match). The fixture stores the point parameters so the
+    test rebuilds the same trajectory without importing the reference.
+    """
+    from neoradium import Carrier, AntennaPanel, Waveform
+    from neoradium.trjchan import TrjPoint, Trajectory, TrjChannel
+
+    rng = np.random.default_rng(9)
+    out = {}
+    for hasLos in (False, True):
+        tag = "los" if hasLos else "nlos"
+        refCar = Carrier(numRbs=12, spacing=30)
+        slotSamples = int(refCar.curBwp.getSlotLen())
+        pts, infos = [], []
+        for i in range(4):
+            pi = np.zeros((6, 8))
+            pi[:, 1] = np.sort(rng.uniform(0, 800, 6))
+            pi[:, 2] = -rng.uniform(0, 25, 6)
+            pi[:, 3] = rng.uniform(-180, 180, 6)
+            pi[:, 4] = rng.uniform(30, 150, 6)
+            pi[:, 5] = rng.uniform(-180, 180, 6)
+            pi[:, 6] = rng.uniform(30, 150, 6)
+            pi[:, 7] = -1
+            if hasLos:
+                pi[0, 7] = 0
+            pts.append(TrjPoint(np.array([i * 0.5, 0.0, 1.5]),
+                                1 if hasLos else 0, pi.copy(), 10.0, 0,
+                                np.array([3.0, 1.0, 0.0]), i * slotSamples))
+            infos.append(pi)
+        ch = TrjChannel(refCar.curBwp, Trajectory(pts, 3.5e9),
+                        txAntenna=AntennaPanel([2, 2], polarization="x"),
+                        rxAntenna=AntennaPanel([1, 2], polarization="|"))
+        out[f"{tag}_pathInfo"] = np.stack(infos)
+        hs = []
+        for slot in range(3):
+            hs.append(ch.getChannelMatrix())
+            ch.goNext()
+            refCar.goNext()
+        out[f"{tag}_h"] = np.stack(hs)
+        ch.restart()
+        refCar.slotNo = 0
+        nt = ch.nrNt[1]
+        sig = (rng.normal(size=(nt, slotSamples + ch.getMaxDelay()))
+               + 1j * rng.normal(size=(nt, slotSamples + ch.getMaxDelay())))
+        out[f"{tag}_sig"] = sig
+        out[f"{tag}_y"] = ch.applyToSignal(Waveform(sig)).waveform
+        out[f"{tag}_offset"] = np.array(ch.getTimingOffset())
+    np.savez_compressed(f"{OUT}/trjchan.npz", **out)
+
+
+def deepmimo_golden():
+    """Reference DeepMIMO trajectory machinery on a tiny synthetic scenario:
+    path-matched interpolation (one TrjPoint per slot) and PCG64-seeded
+    random grid walks across every mode — all bit-exact tensors.
+
+    The scenario is the smooth multipath field of tools/dev/cmp_deepmimo.py,
+    committed in the fixture so the test rebuilds it via
+    DeepMimoData.fromPoints without reference import.
+    """
+    from neoradium import Carrier
+    from neoradium.trjchan import TrjPoint
+    from neoradium.deepmimo import DeepMimoData
+    from neoradium import random as refrandom
+
+    nx, ny = 30, 20
+    delta = np.array([0.4, 0.4])
+    bs = np.array([5.0, 5.0, 20.0])
+    xyzs, infos, dists = [], [], []
+    pts = []
+    for iy in range(ny):
+        for ix in range(nx):
+            xyz = np.array([ix * delta[0], iy * delta[1], 1.5])
+            t = np.arange(4)
+            pi = np.zeros((4, 8))
+            pi[:, 0] = 10 * np.sin(0.1 * ix + t) + 5 * iy * 0.05
+            pi[:, 1] = 100 + 5 * t + 0.5 * ix + 0.3 * iy
+            pi[:, 2] = -5 - 2 * t - 0.01 * ix
+            pi[:, 3] = 30 + 3 * t + 0.2 * ix
+            pi[:, 4] = 80 + t
+            pi[:, 5] = -40 + 5 * t + 0.1 * iy
+            pi[:, 6] = 95 + t
+            pi[:, 7] = -1
+            pi[0, 7] = 0
+            dist = np.sqrt(np.square(bs - xyz).sum())
+            xyzs.append(xyz); infos.append(pi); dists.append(dist)
+            pts.append(TrjPoint(xyz, 1, pi.copy(), dist, 0))
+
+    dmd = DeepMimoData.__new__(DeepMimoData)
+    dmd.scenario = "synthetic"
+    dmd.carrierFreq = 3.5e9
+    dmd.bsXyz = bs
+    dmd.allTrjPoints = pts
+    dmd.gridSize = np.array([nx, ny])
+    dmd.delta = delta
+    dmd.numGridPoints = nx * ny
+    dmd.xyMin = pts[0].xyz[:2]
+    dmd.xyMax = pts[-1].xyz[:2]
+
+    out = {"xyz": np.stack(xyzs), "pathInfo": np.stack(infos),
+           "dist": np.asarray(dists), "gridSize": np.array([nx, ny]),
+           "delta": delta, "bsXyz": bs}
+
+    # interpolation: fixed index path, one point per slot at 5 m/s
+    refCar = Carrier(numRbs=12, spacing=30)
+    idx = [0, 2, 4, 4 + 2 * nx]
+    traj = dmd.interpolateTrajectory(idx, 5.0, refCar.curBwp)
+    out["interp_idx"] = np.asarray(idx)
+    out["interp_xyz"] = np.stack([p.xyz for p in traj])
+    out["interp_sampleNo"] = np.asarray([p.sampleNo for p in traj])
+    out["interp_speed"] = np.stack([p.speed for p in traj])
+    out["interp_hasLos"] = np.asarray([p.hasLos for p in traj])
+    out["interp_pathInfo"] = np.stack([p.pathInfo for p in traj])
+
+    # random walks: every direction mode + custom prob + distance cap
+    cases = [("pX", dict(trajDir="+X")), ("mX", dict(trajDir="-X")),
+             ("pY", dict(trajDir="+Y")), ("mY", dict(trajDir="-Y")),
+             ("all", dict(trajDir="All")),
+             ("prob", dict(trajDir="All", prob=(0.2, 0.5, 0.3))),
+             ("dist", dict(trajDir="All", trajLen=6.0))]
+    for i, (tag, kw) in enumerate(cases):
+        n = kw.pop("trajLen", 24)
+        refrandom.setSeed(1000 + i)
+        out[f"walk_{tag}"] = dmd.getRandomGridTraj(
+            np.array([[0, 0], [11, 7]]), 2, n, **kw)
+    np.savez_compressed(f"{OUT}/deepmimo.npz", **out)
+
+
+def matlab_golden():
+    """Repackage the MATLAB 5G Toolbox golden tensors as committed fixtures.
+
+    This is the INDEPENDENT oracle tier (SURVEY.md §4 tier 1): the ``.mat``
+    files under ``/root/reference/Playground/CompareWithMatlab/*/MatlabFiles``
+    were produced by MATLAB's 5G Toolbox (see the ``.mlx`` sources next to
+    them), NOT by the reference Python code — so a bug faithfully shared by
+    the reference and this repo is still caught.  This generator only runs
+    ``scipy.io.loadmat`` (no reference import) and records the notebook
+    configs alongside the tensors; ``tests/test_matlab_golden.py`` drives OUR
+    implementation against them following each notebook's protocol
+    (inf -> LARGE_LLR, filler -1 adjustments, MATLAB axis orders).
+    """
+    import scipy.io
+
+    base = "/root/reference/Playground/CompareWithMatlab"
+
+    def load(sub, name, key=None):
+        return scipy.io.loadmat(f"{base}/{sub}/MatlabFiles/{name}.mat")[key or name]
+
+    # --- LDPC (LDPC-Matlab.ipynb: BG1, QPSK, 1 layer, R=449/1024) ----------
+    np.savez_compressed(f"{OUT}/matlab_ldpc.npz",
+                        inBits=load("LDPC", "in").reshape(-1).astype(np.int8),
+                        cbsIn=load("LDPC", "cbsIn").T.astype(np.int8),
+                        enc=load("LDPC", "enc").T.astype(np.int8),
+                        chIn=load("LDPC", "chIn").T.astype(np.int8),
+                        raterec=load("LDPC", "raterec").T,
+                        decBits=load("LDPC", "decBits").T.astype(np.int8),
+                        decBlk=load("LDPC", "decBlk").T.reshape(-1).astype(np.int8))
+
+    # --- Polar (PolarMatlab.ipynb: A=30, E=120, 'dci', QPSK, ebNo=0.8) -----
+    np.savez_compressed(f"{OUT}/matlab_polar.npz",
+                        msg=load("Polar", "msg").reshape(-1).astype(np.int8),
+                        msgcrc=load("Polar", "msgcrc").T.astype(np.int8),
+                        encOut=load("Polar", "encOut").T.astype(np.int8),
+                        modIn=load("Polar", "modIn").T.astype(np.int8),
+                        modOut=load("Polar", "modOut").T,
+                        chanNoise=load("Polar", "chanNoise").T,
+                        rxLLR=load("Polar", "rxLLR").T,
+                        decIn=load("Polar", "decIn").T,
+                        decBits=load("Polar", "decBits").reshape(-1).astype(np.int8))
+
+    # --- PDSCH (PDSCH-waveform.ipynb: startRb=1 numRbs=52 mu=1, 2 layers,
+    #     interleavingBundleSize=2, DMRS otherCdmGroups=[1], FFT precoder) --
+    np.savez_compressed(f"{OUT}/matlab_pdsch.npz",
+                        dmrsSymbols=load("PDSCH", "dmrsSymbols").T.flatten(),
+                        pdschBits=load("PDSCH", "pdschBits").flatten().astype(np.int8),
+                        pdschSymbols=load("PDSCH", "pdschSymbols").T.flatten(),
+                        pdschGrid=np.transpose(load("PDSCH", "pdschGrid"), (2, 1, 0)),
+                        txWaveform=load("PDSCH", "txWaveform").T)
+
+    # --- CDL 4x2-panel MIMO + SISO (CDL-Matlab / SisoCdl notebooks:
+    #     model D/C, seed 123 MATLAB init, 25 RB mu=0, fc=4 GHz, 15 km/h) ---
+    for sub, tag in (("CDL", "cdl"), ("CDL-SISO", "cdl_siso")):
+        np.savez_compressed(f"{OUT}/matlab_{tag}.npz",
+                            txWaveform=load(sub, "txWaveform").T,
+                            rxWaveform=load(sub, "rxWaveform").T)
+
+    # --- CSI-RS (CSI-RS-Matlab.ipynb: 25 RB mu=0 nFFT=2048, slot 1,
+    #     NZP 2-port + ZP 4-port sets, then CDL-D channel + LS chest) -------
+    np.savez_compressed(f"{OUT}/matlab_csirs.npz",
+                        csirsSym=load("CSI-RS", "csirsSym").T.flatten(),
+                        txGrid=np.transpose(load("CSI-RS", "txGrid"), (2, 1, 0)),
+                        txWaveform=load("CSI-RS", "txWaveform").T,
+                        H_actual=np.transpose(load("CSI-RS", "H_actual"), (1, 0, 2, 3)),
+                        rxWaveform=load("CSI-RS", "rxWaveform").T,
+                        noise=load("CSI-RS", "noise").T,
+                        rxGrid=np.transpose(load("CSI-RS", "rxGrid"), (2, 1, 0)))
+
+    # --- Antenna patterns (Antenna*.ipynb: 65-deg 30-dB element; 4x4 '+'
+    #     panel; 2x2 array of panels at 3-lambda spacing).  MATLAB emits
+    #     closed 181x361 grids; drop the wrap row/col like the notebooks. ---
+    ant = {}
+    for mat, pre in (("Element", "el"), ("Panel", "panel"), ("Array", "array")):
+        ant[f"{pre}_directivity"] = load("Antenna", f"{mat}Directivity",
+                                         "directivity")[:-1, :-1]
+        ant[f"{pre}_field"] = load("Antenna", f"{mat}Field", "field")[:-1, :-1]
+        ant[f"{pre}_powerDb"] = load("Antenna", f"{mat}PowerDb",
+                                     "powerDb")[:-1, :-1]
+    np.savez_compressed(f"{OUT}/matlab_antenna.npz", **ant)
+
+
 ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest, bler_curve_td,
-                  tdl, polar, csirs, csifb, ptrs, bler_curve, harq_anchor]
+                  tdl, polar, csirs, csifb, ptrs, bler_curve, harq_anchor,
+                  trjchan, deepmimo_golden, matlab_golden]
 
 if __name__ == "__main__":
     import os
