@@ -613,8 +613,8 @@ class DeepMimoData:
             anim.save(fileName, writer=animation.PillowWriter(fps=max(fps, 1)))
         return anim
 
-    def interactiveTrajPoints(self, mapType="LOS-NLOS", backEnd=None,
-                              figSize=6):
+    def interactiveTrjPoints(self, mapType="LOS-NLOS", backEnd=None,
+                             figSize=6):
         """Pick trajectory points by clicking on the scenario map (reference
         deepmimo.py:1322-1433): left-click appends a point, right-click
         removes the last one, closing the window finishes. Returns the
@@ -660,3 +660,7 @@ class DeepMimoData:
         plt.show(block=True)
         print(f"Done. {len(points)} points selected.")
         return np.float64(points)
+
+    # Backward-compat alias: rounds 1-2 of this repo exposed the method with
+    # the (misspelled relative to the reference) name interactiveTrajPoints.
+    interactiveTrajPoints = interactiveTrjPoints

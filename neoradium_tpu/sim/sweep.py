@@ -63,6 +63,40 @@ def run_bler_sweep(trial_fn, snrDbs, numTrials: int, seed: int = 123,
     return results
 
 
+def build_grid_fn(trial_fn, snrDbs, numTrials: int, seed: int = 123,
+                  mesh: Mesh | None = None):
+    """Build the jitted 2-D grid function + placed inputs used by
+    :func:`run_bler_grid`. Exposed so tooling can lower/compile the same
+    program for cost analysis (see tools/bench_scaling.py)."""
+    nSnr = len(list(snrDbs))
+    keys = jnp.broadcast_to(make_trial_keys(seed, numTrials),
+                            (nSnr, numTrials, 2))
+    snrs = jnp.asarray(list(snrDbs), jnp.float32)
+
+    def grid(keys, snrs):
+        per_point = jax.vmap(lambda ks, s: jax.vmap(
+            lambda k: trial_fn(k, s))(ks))
+        m = per_point(keys, snrs)
+        return {k: jnp.sum(v, axis=1, dtype=jnp.int32) for k, v in m.items()}
+
+    if mesh is not None:
+        if "snr" in mesh.axis_names:
+            kSh = NamedSharding(mesh, P("snr", "trial"))
+            sSh = NamedSharding(mesh, P("snr"))
+        else:
+            kSh = NamedSharding(mesh, P(None, "trial"))
+            sSh = NamedSharding(mesh, P())
+        metricKeys = jax.eval_shape(
+            trial_fn, jax.random.PRNGKey(0), jnp.float32(0.0)).keys()
+        gridj = jax.jit(grid, in_shardings=(kSh, sSh),
+                        out_shardings={k: sSh for k in metricKeys})
+        keys = jax.device_put(keys, kSh)
+        snrs = jax.device_put(snrs, sSh)
+    else:
+        gridj = jax.jit(grid)
+    return gridj, keys, snrs
+
+
 def run_bler_grid(trial_fn, snrDbs, numTrials: int, seed: int = 123,
                   mesh: Mesh | None = None):
     """The whole SNR sweep as ONE sharded call over a 2-D (snr x trial) mesh.
@@ -88,34 +122,9 @@ def run_bler_grid(trial_fn, snrDbs, numTrials: int, seed: int = 123,
 
     Returns the same curve dict as :func:`run_bler_sweep`.
     """
-    snrDbs = list(snrDbs)
-    nSnr = len(snrDbs)
-    keys = jnp.broadcast_to(make_trial_keys(seed, numTrials),
-                            (nSnr, numTrials, 2))
-    snrs = jnp.asarray(snrDbs, jnp.float32)
-
-    def grid(keys, snrs):
-        per_point = jax.vmap(lambda ks, s: jax.vmap(
-            lambda k: trial_fn(k, s))(ks))
-        m = per_point(keys, snrs)
-        return {k: jnp.sum(v, axis=1, dtype=jnp.int32) for k, v in m.items()}
-
-    if mesh is not None:
-        if "snr" in mesh.axis_names:
-            kSh = NamedSharding(mesh, P("snr", "trial"))
-            sSh = NamedSharding(mesh, P("snr"))
-        else:
-            kSh = NamedSharding(mesh, P(None, "trial"))
-            sSh = NamedSharding(mesh, P())
-        metricKeys = jax.eval_shape(
-            trial_fn, jax.random.PRNGKey(0), jnp.float32(0.0)).keys()
-        gridj = jax.jit(grid, in_shardings=(kSh, sSh),
-                        out_shardings={k: sSh for k in metricKeys})
-        keys = jax.device_put(keys, kSh)
-        snrs = jax.device_put(snrs, sSh)
-    else:
-        gridj = jax.jit(grid)
+    gridj, keys, snrs = build_grid_fn(trial_fn, snrDbs, numTrials, seed, mesh)
     out = {k: np.asarray(v) for k, v in gridj(keys, snrs).items()}
+    snrDbs = list(snrDbs)
     results = {k: [int(x) for x in v] for k, v in out.items()}
     results["snrDbs"] = snrDbs
     results["ber"] = [be / max(b, 1) for be, b in

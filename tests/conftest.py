@@ -14,3 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute Monte-Carlo suites (BLER parity, HARQ anchor, "
+        "link e2e); deselect with -m 'not slow' for the quick tier")

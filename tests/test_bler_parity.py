@@ -42,6 +42,8 @@ from neoradium_tpu.channels.cdl import CdlChannel
 from neoradium_tpu.sim.link import PdschLinkSim
 from neoradium_tpu.sim.sweep import run_bler_sweep
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "bler_curve.npz")
 NUM_TRIALS = 128
 
@@ -107,7 +109,11 @@ GOLDEN_TD = os.path.join(os.path.dirname(__file__), "golden",
                          "bler_curve_td.npz")
 
 
-def test_bler_curve_parity_time_domain():
+@pytest.mark.parametrize("chEst", ["perfect", "ls"])
+def test_bler_curve_parity_time_domain(chEst):
+    """TD pipeline (OFDM + FIR channel + sync) parity, perfect AND LS
+    estimation — the LS case is exactly the reference MLChestDataGen.ipynb
+    pipeline config (BASELINE.md row 2)."""
     fx = np.load(GOLDEN_TD)
     car = CarrierConfig(numRbs=51, spacing=30)
     chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
@@ -117,12 +123,12 @@ def test_bler_curve_parity_time_domain():
     sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
                        dmrsKw=dict(configType=2, additionalPos=2),
                        codeRate=490 / 1024, domain="time", channelModel=chan,
-                       chEst="perfect", decoderIter=8, useRxPower=False)
-    res = run_bler_sweep(sim.make_trial_fn(), list(fx["snrs"]),
+                       chEst=chEst, decoderIter=8, useRxPower=False)
+    res = run_bler_sweep(sim.make_trial_fn(), list(fx[f"{chEst}_snrs"]),
                          numTrials=NUM_TRIALS)
-    counts = fx["counts"]
+    counts = fx[f"{chEst}_counts"]
     cbPerTb = int(counts[0][3] // counts[0][1])
-    for i, snr in enumerate(fx["snrs"]):
+    for i, snr in enumerate(fx[f"{chEst}_snrs"]):
         tbE, tbN, cbE, cbN = counts[i]
         zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i])
         zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],

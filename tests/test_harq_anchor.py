@@ -29,6 +29,8 @@ from neoradium_tpu.channels.cdl import CdlChannel
 from neoradium_tpu.sim.link import PdschLinkSim
 from neoradium_tpu.sim.harq import PdschHarqSim, HarqConfig, harq_stats
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "harq_anchor.npz")
 NUM_TRIALS = 16
 NUM_SLOTS = 128

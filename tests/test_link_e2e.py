@@ -11,6 +11,8 @@ from neoradium_tpu.sim.link import PdschLinkSim
 from neoradium_tpu.sim.sweep import run_bler_sweep, default_mesh
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def awgn_sim():
     return PdschLinkSim(CarrierConfig(numRbs=25, spacing=30),

@@ -207,10 +207,11 @@ def test_interactive_traj_points_headless(channel):
     dm.gridSize = (2, 2)
     dm.xyMin, dm.xyMax = np.asarray([0.0, 0.0]), np.asarray([1.0, 1.0])
     dm.bsXyz = np.asarray([0.0, 0.0, 10.0])
-    out = dm.interactiveTrajPoints()          # Agg: window closes instantly
+    out = dm.interactiveTrjPoints()           # Agg: window closes instantly
+    assert dm.interactiveTrajPoints == dm.interactiveTrjPoints  # legacy alias
     assert out.shape[0] == 0
     with pytest.raises(ValueError):
-        dm.interactiveTrajPoints(mapType="bogus")
+        dm.interactiveTrjPoints(mapType="bogus")
 
 
 def test_td_multislot_sim_with_trajectory(channel):

@@ -541,63 +541,70 @@ def bler_curve_td():
     """Reference TB/CB error counters for the TIME-domain channel pipeline
     (ofdmModulate -> pad(maxDelay) -> applyToSignal -> addNoise(nFFT=) ->
     sync(getTimingOffset) -> ofdmDemodulate, the MLChestDataGen.ipynb flow),
-    perfect chEst, ensemble sampling (fresh seeded channel per slot)."""
+    with BOTH perfect and LS (DMRS linear-interp) channel estimation,
+    ensemble sampling (fresh seeded channel per slot)."""
     from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
     from neoradium import random as refrandom
     from neoradium.ldpc import LdpcEncoder
 
     # MATLAB-convention noise (rxPower assumed 1/nr): the per-realization
     # channel gain spread dominates, so the waterfall is shallow and sits
-    # ~10 dB below the useRxPower one
-    SNRS = [-4.0, -2.0, 0.0]
+    # ~10 dB below the useRxPower one; LS costs a few dB on top
+    SNRS = {"perfect": [-4.0, -2.0, 0.0], "ls": [-1.0, 1.0, 3.0]}
     NUM_SLOTS = 200
-    out = {"numSlots": np.array(NUM_SLOTS), "snrs": np.array(SNRS)}
-    errs = []
-    for snrDb in SNRS:
-        refrandom.setSeed(123)
-        carrier = Carrier(numRbs=51, spacing=30)
-        bwp = carrier.curBwp
-        pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
-                      nID=carrier.cellId, modulation="16QAM")
-        pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
-        enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=2,
-                          targetRate=490 / 1024)
-        dec = enc.getDecoder()
-        cbErrors = cbTotal = tbErrors = 0
-        for slotNo in range(NUM_SLOTS):
-            channel = CdlChannel(
-                bwp, "C", delaySpread=300, carrierFreq=4e9,
-                dopplerShift=5, seed=1000 + slotNo,
-                txAntenna=AntennaPanel([2, 2], polarization="x"),
-                rxAntenna=AntennaPanel([1, 1], polarization="x"))
-            grid = pdsch.getGrid()
-            tbs = pdsch.getTxBlockSize(490 / 1024)
-            txBlock = refrandom.bits(tbs[0])
-            numBits = pdsch.getBitSizes(grid)
-            rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
-            pdsch.populateGrid(grid, rm)
-            idx = pdsch.getReIndexes(grid, "PDSCH")
-            H = channel.getChannelMatrix()
-            F = pdsch.getPrecodingMatrix(H)
-            txWf = grid.precode(F).ofdmModulate()
-            txWf = txWf.pad(channel.getMaxDelay())
-            rxWf = channel.applyToSignal(txWf)
-            noisy = rxWf.addNoise(snrDb=snrDb, nFFT=bwp.nFFT)
-            synced = noisy.sync(channel.getTimingOffset())
-            rxGrid = synced.ofdmDemodulate(bwp)   # noiseVar auto-scales xnFFT
-            hEst = H @ F[None, ...]
-            eqGrid, scales = rxGrid.equalize(hEst)
-            llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
-            rec = dec.recoverRate(llrs[0], tbs[0])
-            decoded = dec.decode(rec, numIter=8)
-            _, crcMatch = dec.checkCrcAndMerge(decoded)
-            cbErrors += len(crcMatch) - sum(crcMatch)
-            cbTotal += len(crcMatch)
-            tbErrors += int(not all(crcMatch))
-        errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
-        print(f"  bler_curve_td SNR {snrDb}: tb {tbErrors}/{NUM_SLOTS} "
-              f"cb {cbErrors}/{cbTotal}")
-    out["counts"] = np.array(errs, dtype=np.int64)
+    out = {"numSlots": np.array(NUM_SLOTS)}
+    for chEst in ("perfect", "ls"):
+        out[f"{chEst}_snrs"] = np.array(SNRS[chEst])
+        errs = []
+        for snrDb in SNRS[chEst]:
+            refrandom.setSeed(123)
+            carrier = Carrier(numRbs=51, spacing=30)
+            bwp = carrier.curBwp
+            pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                          nID=carrier.cellId, modulation="16QAM")
+            pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+            enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=2,
+                              targetRate=490 / 1024)
+            dec = enc.getDecoder()
+            cbErrors = cbTotal = tbErrors = 0
+            for slotNo in range(NUM_SLOTS):
+                channel = CdlChannel(
+                    bwp, "C", delaySpread=300, carrierFreq=4e9,
+                    dopplerShift=5, seed=1000 + slotNo,
+                    txAntenna=AntennaPanel([2, 2], polarization="x"),
+                    rxAntenna=AntennaPanel([1, 1], polarization="x"))
+                grid = pdsch.getGrid()
+                tbs = pdsch.getTxBlockSize(490 / 1024)
+                txBlock = refrandom.bits(tbs[0])
+                numBits = pdsch.getBitSizes(grid)
+                rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
+                pdsch.populateGrid(grid, rm)
+                idx = pdsch.getReIndexes(grid, "PDSCH")
+                H = channel.getChannelMatrix()
+                F = pdsch.getPrecodingMatrix(H)
+                txWf = grid.precode(F).ofdmModulate()
+                txWf = txWf.pad(channel.getMaxDelay())
+                rxWf = channel.applyToSignal(txWf)
+                noisy = rxWf.addNoise(snrDb=snrDb, nFFT=bwp.nFFT)
+                synced = noisy.sync(channel.getTimingOffset())
+                rxGrid = synced.ofdmDemodulate(bwp)  # noiseVar auto-scales xnFFT
+                if chEst == "perfect":
+                    hEst = H @ F[None, ...]
+                else:
+                    hEst, _ = rxGrid.estimateChannelLS(
+                        pdsch.dmrs, polarInt=False, kernel="linear")
+                eqGrid, scales = rxGrid.equalize(hEst)
+                llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+                rec = dec.recoverRate(llrs[0], tbs[0])
+                decoded = dec.decode(rec, numIter=8)
+                _, crcMatch = dec.checkCrcAndMerge(decoded)
+                cbErrors += len(crcMatch) - sum(crcMatch)
+                cbTotal += len(crcMatch)
+                tbErrors += int(not all(crcMatch))
+            errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
+            print(f"  bler_curve_td {chEst} SNR {snrDb}: tb {tbErrors}/"
+                  f"{NUM_SLOTS} cb {cbErrors}/{cbTotal}")
+        out[f"{chEst}_counts"] = np.array(errs, dtype=np.int64)
     np.savez_compressed(f"{OUT}/bler_curve_td.npz", **out)
 
 
@@ -616,7 +623,9 @@ def harq_anchor():
     from neoradium import random as refrandom
 
     numSlots = 1000
-    out = {"numSlots": np.array(numSlots), "snrs": np.array([6.0, 10.0])}
+    seeds = [123, 231, 321, 412, 512, 612, 712, 812]
+    out = {"numSlots": np.array(numSlots), "snrs": np.array([6.0, 10.0]),
+           "seeds": np.array(seeds)}
     carrier = Carrier(numRbs=51, spacing=30)
     bwp = carrier.curBwp
     pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
@@ -632,38 +641,47 @@ def harq_anchor():
         rxAntenna=AntennaPanel([1, 1], polarization="+",
                                beamWidth=[75, 360]),
         rxOrientation=[0, 0, 0])
+    ens = {6: [], 10: []}
     for snrDb in (6, 10):
-        refrandom.setSeed(123)
-        channel.restart()
-        harq.reset()
-        for s in range(numSlots):
-            grid = bwp.createGrid(pdsch.numLayers)
-            pdsch.allocateResources(grid)
-            txBlockSizes = pdsch.getTxBlockSize(490 / 1024)
-            numBits = pdsch.getBitSizes(grid)
-            txBlocks = [refrandom.bits(txBlockSizes[c])
-                        if harq.needNewData[c] else None
-                        for c in range(harq.numCW)]
-            rm = harq.getRateMatchedCodeBlocks(txBlocks, numBits)
-            pdsch.populateGrid(grid, rm)
-            H = channel.getChannelMatrix()
-            F = pdsch.getPrecodingMatrix(H)
-            rxGrid = grid.precode(F).applyChannel(H)
-            noisy = rxGrid.addNoise(snrDb=snrDb, useRxPower=True)
-            eqGrid, llrScales = noisy.equalize(H @ F[None, ...])
-            llrs = pdsch.getLLRsFromGrid(eqGrid, pdsch.dataIndices,
-                                         llrScales)
-            harq.decodeLLRs(llrs, txBlockSizes, numIter=2)
-            channel.goNext()
-            harq.goNext()
-        tag = f"snr{snrDb}"
-        out[f"{tag}_txBits"] = harq.txBits.copy()
-        out[f"{tag}_rxBits"] = harq.rxBits.copy()
-        out[f"{tag}_txBlocks"] = harq.txBlocks.copy()
-        out[f"{tag}_rxBlocks"] = harq.rxBlocks.copy()
-        out[f"{tag}_numTimeouts"] = np.array(harq.numTimeouts)
-        print(f"  harq_anchor snr={snrDb}: throughput={harq.throughput:.2f}%"
-              f" bler={harq.bler:.2f}% meanTries={harq.meanTries:.2f}")
+        for seed in seeds:
+            refrandom.setSeed(seed)
+            channel.restart()
+            harq.reset()
+            for s in range(numSlots):
+                grid = bwp.createGrid(pdsch.numLayers)
+                pdsch.allocateResources(grid)
+                txBlockSizes = pdsch.getTxBlockSize(490 / 1024)
+                numBits = pdsch.getBitSizes(grid)
+                txBlocks = [refrandom.bits(txBlockSizes[c])
+                            if harq.needNewData[c] else None
+                            for c in range(harq.numCW)]
+                rm = harq.getRateMatchedCodeBlocks(txBlocks, numBits)
+                pdsch.populateGrid(grid, rm)
+                H = channel.getChannelMatrix()
+                F = pdsch.getPrecodingMatrix(H)
+                rxGrid = grid.precode(F).applyChannel(H)
+                noisy = rxGrid.addNoise(snrDb=snrDb, useRxPower=True)
+                eqGrid, llrScales = noisy.equalize(H @ F[None, ...])
+                llrs = pdsch.getLLRsFromGrid(eqGrid, pdsch.dataIndices,
+                                             llrScales)
+                harq.decodeLLRs(llrs, txBlockSizes, numIter=2)
+                channel.goNext()
+                harq.goNext()
+            if seed == 123:
+                # the committed notebook anchor (exact reproduction)
+                tag = f"snr{snrDb}"
+                out[f"{tag}_txBits"] = harq.txBits.copy()
+                out[f"{tag}_rxBits"] = harq.rxBits.copy()
+                out[f"{tag}_txBlocks"] = harq.txBlocks.copy()
+                out[f"{tag}_rxBlocks"] = harq.rxBlocks.copy()
+                out[f"{tag}_numTimeouts"] = np.array(harq.numTimeouts)
+            ens[snrDb].append([harq.throughput, harq.bler, harq.meanTries])
+            print(f"  harq_anchor snr={snrDb} seed={seed}: "
+                  f"throughput={harq.throughput:.2f}% bler={harq.bler:.2f}%"
+                  f" meanTries={harq.meanTries:.2f}")
+    # ensemble: (seeds, 3) per SNR — columns throughput%, bler%, meanTries
+    out["snr6_ensemble"] = np.array(ens[6])
+    out["snr10_ensemble"] = np.array(ens[10])
     np.savez_compressed(f"{OUT}/harq_anchor.npz", **out)
 
 
