@@ -1,20 +1,23 @@
 """HARQ throughput-anchor parity vs the reference notebook configuration.
 
-Fixture ``tests/golden/harq_anchor.npz`` reproduces the committed output of
-``Playground/PDSCH/PDSCH-Throughput.ipynb`` EXACTLY with the reference code
-(tools/make_golden.py:harq_anchor; seed 123): 1000-slot continuous CDL-C
-8x2 channel, 16 IR HARQ processes, perfect chEst, decoder numIter=2 —
-at 6 dB: txBits=30216000, throughput 10.80%, BLER 89.20%, meanTries 3.54.
+Fixture ``tests/golden/harq_anchor.npz`` (tools/make_golden.py:harq_anchor)
+holds TWO tiers:
+  - the committed notebook output reproduced EXACTLY with the reference code
+    (seed 123, 1000-slot continuous CDL-C 8x2 channel, 16 IR HARQ
+    processes, perfect chEst, decoder numIter=2 — at 6 dB: txBits=30216000,
+    throughput 10.80%, BLER 89.20%, meanTries 3.54), and
+  - an 8-seed ENSEMBLE of such 1000-slot runs per SNR, which measures the
+    anchor's own realization noise instead of guessing it.
 
-Statistics note: the anchor is ONE 1000-slot channel realization at 5 Hz
-Doppler (coherence ~80 slots -> ~12 independent channel windows), and the
-per-window throughput at 6 dB is bimodal (0% or 25%): the realization noise
-of the anchor itself is ~±4% absolute (measured per-trial std 10.9% over
-128-slot trials).  The quantitative gates below use 3-sigma bounds combining
-the anchor's realization noise with our Monte-Carlo spread; the sharp checks
-are the STRUCTURAL ones (per-try success histogram shape, meanTries, and the
-exact TBS -> txBits accounting), which pin the HARQ state machine, rv
-sequence, soft-buffer combining, and per-try statistics bookkeeping.
+Statistics: at 5 Hz Doppler a 1000-slot run spans only ~12 independent
+channel windows and the per-window throughput at 6 dB is bimodal, so single
+runs scatter widely — the measured ensemble std is ~5 points of throughput
+at 6 dB (~4 at 10 dB). The quantitative gate is therefore a two-sample
+z-test with EMPIRICAL variances on both sides: anchor SE from the 8-seed
+ensemble, ours from the per-trial spread of the Monte-Carlo batch. The
+sharp checks remain the STRUCTURAL ones (per-try success histogram shape,
+meanTries, exact TBS -> txBits accounting), which pin the HARQ state
+machine, rv sequence, soft-buffer combining, and per-try statistics.
 """
 import os
 
@@ -32,8 +35,8 @@ from neoradium_tpu.sim.harq import PdschHarqSim, HarqConfig, harq_stats
 pytestmark = pytest.mark.slow
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "harq_anchor.npz")
-NUM_TRIALS = 16
-NUM_SLOTS = 128
+NUM_TRIALS = 24
+NUM_SLOTS = 192
 
 
 @pytest.fixture(scope="module")
@@ -61,7 +64,21 @@ def ours():
     out = {}
     for snr in (6.0, 10.0):
         m = jax.block_until_ready(trial(keys, jnp.float32(snr)))
-        out[snr] = harq_stats({k: np.asarray(v) for k, v in m.items()})
+        m = {k: np.asarray(v) for k, v in m.items()}
+        stats = harq_stats(m)
+        # per-trial throughput/bler/meanTries for the empirical variance
+        txB = m["txBits"].sum(-1).astype(float)
+        rxB = m["rxBits"].sum(-1).astype(float)
+        txBl = m["txBlocks"].sum(-1).astype(float)
+        rxBl = m["rxBlocks"].sum(-1).astype(float)
+        maxTries = m["txBlocks"].shape[-1]
+        tries = ((m["rxBlocks"] * np.arange(maxTries)).sum(-1)
+                 + m["numTimeouts"] * maxTries) \
+            / np.maximum(rxBl + m["numTimeouts"], 1)
+        stats["perTrial"] = np.stack(
+            [100 * rxB / np.maximum(txB, 1),
+             100 * (txBl - rxBl) / np.maximum(txBl, 1), tries], axis=1)
+        out[snr] = stats
     return sim, out
 
 
@@ -79,6 +96,10 @@ def test_anchor_fixture_is_the_notebook_output(anchor):
     assert round(s["bler"], 2) == 89.20
     assert round(s["meanTries"], 2) == 3.54
     assert s["rxBlocksPerTry"][:2] == [0, 0]
+    # ensemble sanity: seed-123 is its first row
+    ens = anchor["snr6_ensemble"]
+    assert ens.shape == (len(anchor["seeds"]), 3)
+    assert round(float(ens[0, 0]), 2) == 10.80
 
 
 def test_tbs_and_bit_accounting(ours):
@@ -92,13 +113,22 @@ def test_tbs_and_bit_accounting(ours):
 
 @pytest.mark.parametrize("snr,tag", [(6.0, "snr6"), (10.0, "snr10")])
 def test_anchor_statistical_consistency(anchor, ours, snr, tag):
-    ref = ref_stats(anchor, tag)
-    mine = ours[1][snr]
-    # 3-sigma combined bounds (see module docstring): anchor realization
-    # noise ~4 + our 16-trial spread ~2.7 -> ~14.5 absolute on percentages.
-    assert abs(mine["throughput"] - ref["throughput"]) < 14.5, (mine, ref)
-    assert abs(mine["bler"] - ref["bler"]) < 14.5, (mine, ref)
-    assert abs(mine["meanTries"] - ref["meanTries"]) < 0.8, (mine, ref)
+    """Two-sample z-gate with empirical variances on both sides.
+
+    Anchor SE comes from the 8-seed reference ensemble (measured, not
+    assumed); our SE from the per-trial spread of the Monte-Carlo batch.
+    With the measured spreads this gates throughput/BLER at ~±6-8 absolute
+    points (3 sigma) — tight enough to catch a 2x throughput regression at
+    10 dB outright and a sign-consistent bias at both SNRs at 6 dB.
+    """
+    ens = anchor[f"{tag}_ensemble"]          # (seeds, 3): thr, bler, tries
+    mine = ours[1][snr]["perTrial"]          # (trials, 3)
+    for col, name, lim in ((0, "throughput", 3.0), (1, "bler", 3.0),
+                           (2, "meanTries", 3.0)):
+        ma, sa = float(ens[:, col].mean()), float(ens[:, col].std(ddof=1))
+        mo, so = float(mine[:, col].mean()), float(mine[:, col].std(ddof=1))
+        z = abs(ma - mo) / np.sqrt(sa ** 2 / len(ens) + so ** 2 / len(mine))
+        assert z < lim, (snr, name, ma, mo, z)
 
 
 def test_anchor_structural_agreement(anchor, ours):
