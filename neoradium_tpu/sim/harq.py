@@ -173,7 +173,8 @@ class HarqEntity:
                                       curTry=jnp.stack(curTries))
 
     # ---------------------------------------------------------------- RX
-    def rx_step(self, state: dict, proc, llrs, payloads, numIter: int = 5):
+    def rx_step(self, state: dict, proc, llrs, payloads, numIter: int = 5,
+                dtype=jnp.float32):
         """Receive side: soft-combine, decode, update machines + statistics.
 
         Mirrors reference HarqCW.decodeLLRs + update (harq.py:165-204): the
@@ -198,7 +199,7 @@ class HarqEntity:
             rec, buf = jax.lax.switch(jnp.minimum(curTry, cfg.maxTries - 1),
                                       self._rr_branches[q],
                                       (llrs[q], softIn))
-            decoded = dec.decode(rec, numIter=numIter)
+            decoded = dec.decode(rec, numIter=numIter, dtype=dtype)
             merged, cbOk = dec.check_crc_and_merge(decoded)
             ok = jnp.all(cbOk, axis=-1)
             timeout = (~ok) & (curTry + 1 >= cfg.maxTries)
@@ -373,7 +374,8 @@ class PdschHarqSim:
             llrsAll = plan.extract_llrs(eqGrid, llrScales, noiseVar)
 
             carry, out = ent.rx_step(carry, proc, llrsAll, payloads,
-                                     numIter=sim.decoderIter)
+                                     numIter=sim.decoderIter,
+                                     dtype=sim.decoderDtype)
             return carry, dict(bitErrors=out["bitErrors"])
 
         endState, ys = jax.lax.scan(step, carry0, jnp.arange(self.numSlots))

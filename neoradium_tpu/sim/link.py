@@ -55,7 +55,7 @@ class PdschLinkSim:
                  slotNo: int = 0, domain: str = "time", numRx: int | None = None,
                  decoderIter: int = 5, windowing: bool = False, seed: int = 0,
                  channelModel=None, chEst: str = "perfect",
-                 useRxPower: bool = True):
+                 useRxPower: bool = True, decoderDtype=None):
         if domain not in ("time", "freq"):
             raise ValueError("domain must be 'time' or 'freq'")
         if chEst not in ("perfect", "ls"):
@@ -63,6 +63,12 @@ class PdschLinkSim:
         self.carrier = carrier
         self.domain = domain
         self.decoderIter = decoderIter
+        # None -> float32 (bit-identical to the reference). "bfloat16" is the
+        # TPU fast path: ~2x decoder VPU throughput / half the HBM traffic at
+        # negligible BLER cost (see LdpcDecoder.decode docstring).
+        import jax.numpy as _jnp
+        self.decoderDtype = (_jnp.float32 if decoderDtype is None
+                             else _jnp.dtype(decoderDtype))
         self.windowing = windowing
         self.channelModel = channelModel
         self.chEst = chEst
@@ -191,7 +197,7 @@ class PdschLinkSim:
         totalBits, totalBlocks, totalCbs = 0, 0, 0
         for q in range(numCW):
             decoded, ok, cbOk, _ = self.ldpc[q][1].decode_tb_full(
-                llrs[q], numIter=self.decoderIter)
+                llrs[q], numIter=self.decoderIter, dtype=self.decoderDtype)
             bitErr = bitErr + jnp.sum(decoded != payloads[q], dtype=jnp.int32)
             blkErr = blkErr + (~ok).astype(jnp.int32)
             cbErr = cbErr + jnp.sum(~cbOk, dtype=jnp.int32)
@@ -323,7 +329,8 @@ class PdschLinkSim:
                 blkErr = jnp.zeros((), jnp.int32)
                 for q in range(numCW):
                     decoded, ok, _ = self.ldpc[q][1].decode_tb(
-                        llrs[q], numIter=self.decoderIter)
+                        llrs[q], numIter=self.decoderIter,
+                        dtype=self.decoderDtype)
                     bitErr += jnp.sum(decoded != payloads[q], dtype=jnp.int32)
                     blkErr += (~ok).astype(jnp.int32)
                 return carry, dict(bitErrors=bitErr, blockErrors=blkErr)

@@ -120,3 +120,30 @@ def test_ldpc_is_valid_coded_block_and_decode2():
     assert np.array_equal(d2, d1)
     merged, cbok = dec.check_crc_and_merge(jnp.asarray(d2))
     assert np.all(np.asarray(cbok))
+
+
+def test_bf16_decode_matches_f32_outcomes():
+    """bfloat16 message passing (the TPU fast path, decoderDtype='bfloat16')
+    must track float32 min-sum: identical decodes well above threshold, and
+    near-identical block outcomes in the waterfall (bf16's 8-bit mantissa
+    far exceeds hardware decoders' 4-6 bit LLR quantization)."""
+    import jax
+    cfg = LdpcConfig(1000, baseGraphNo=1, modulation="QPSK", txLayers=1,
+                     targetRate=490 / 1024)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    key = jax.random.PRNGKey(3)
+    kBits, kNoise = jax.random.split(key)
+    B = 24
+    payload = jax.random.bernoulli(kBits, 0.5, (B, 1000)).astype(jnp.int8)
+    tx = 1.0 - 2.0 * jax.vmap(enc.encode_tb)(payload).astype(jnp.float32)
+    for snrDb, minAgree in ((4.0, 1.0), (0.0, 0.9)):
+        sigma = float(10 ** (-snrDb / 20))
+        noisy = tx + sigma * jax.random.normal(kNoise, tx.shape)
+        llrs = 2.0 * noisy / sigma ** 2
+        okF = jax.vmap(lambda v: dec.decode_tb(v, numIter=6)[1])(llrs)
+        okB = jax.vmap(lambda v: dec.decode_tb(
+            v, numIter=6, dtype=jnp.bfloat16)[1])(llrs)
+        agree = float(jnp.mean((okF == okB).astype(jnp.float32)))
+        assert agree >= minAgree, (snrDb, agree)
+        if snrDb >= 4.0:
+            assert bool(jnp.all(okF)) and bool(jnp.all(okB))
