@@ -167,6 +167,59 @@ class LdpcConfig:
         """Positions of filler bits within a K-bit code block."""
         return self.codeBlockSize - self.numFillerBits, self.codeBlockSize
 
+    def covered_nz(self, rvs=(0,)):
+        """Boolean (nz,): punctured-codeword positions that receive channel
+        LLRs in at least one transmission at the given redundancy versions
+        (union over code blocks / rvs; filler positions excluded — they get
+        LARGE_LLR, not channel LLRs, but sit in high-degree systematic
+        columns so they never matter for row pruning)."""
+        covBuf = np.zeros(self.cirBufSize, bool)
+        e = int(self.cbLens.max())
+        for rv in rvs:
+            k0 = self.k0(rv) % self.cirBufSize
+            idx = (k0 + np.arange(min(e, self.cirBufSize))) % self.cirBufSize
+            covBuf[idx] = True
+        cov = np.zeros(self.nz, bool)
+        s = self.sysLenNoFill
+        sysEnd = self.codeBlockSize - 2 * self.liftingSize
+        cov[:s] = covBuf[:s]
+        cov[sysEnd:self.nCB] = covBuf[s:]
+        return cov
+
+    @lru_cache(maxsize=None)
+    def active_rows(self, rvs=None):
+        """Base-graph rows that can influence min-sum decoding when only the
+        given redundancy versions were transmitted (``None`` = assume all
+        positions may carry LLRs = keep every row).
+
+        A row containing a degree-1 column (the NR extension parities,
+        columns kCols+4..numCols-1 touch exactly one row each) whose Zc
+        channel LLRs are ALL zero is provably inert under (layered) min-sum:
+        that variable's belief always equals this row's own message, so its
+        variable-to-check input is identically 0, the row's min1 is 0, and
+        every message it sends to its other columns is exactly 0 at every
+        iteration. Skipping such rows is bit-identical, not an approximation
+        (cross-checked in tests/test_ldpc.py::test_active_rows_exact). For
+        the headline R=490/1024 config this prunes 20 of 46 layers.
+        """
+        if rvs is None:
+            return tuple(range(self.numParityRows))
+        cov = self.covered_nz(tuple(rvs))
+        bg = self.baseGraph
+        colDeg = (bg >= 0).sum(axis=0)
+        z = self.liftingSize
+        rows = []
+        for i, row in enumerate(bg):
+            inert = False
+            for ci in np.where(row >= 0)[0]:
+                if colDeg[ci] == 1 and ci >= 2 \
+                        and not cov[(ci - 2) * z:(ci - 1) * z].any():
+                    inert = True
+                    break
+            if not inert:
+                rows.append(i)
+        return tuple(rows)
+
     # ------------------------------------------------------------ helpers
     def circ_buffer_from_coded(self, coded):
         """coded (..., C, nz) -> filler-less circular buffer (..., C, cirBufSize).
@@ -413,7 +466,7 @@ class LdpcDecoder:
 
     def decode(self, recovered: jnp.ndarray, numIter: int = 5,
                onlyInfoBits: bool = True, outputBelief: bool = False,
-               impl: str = "auto", dtype=jnp.float32):
+               impl: str = "auto", dtype=jnp.float32, activeRvs=None):
         """Layered min-sum BP. recovered (..., C, nz) -> bits (..., C, K).
 
         Structure-of-arrays formulation (see __init__ note): beliefs are a
@@ -436,12 +489,18 @@ class LdpcDecoder:
           LDPC decoders (bf16 shares float32's exponent range, so the
           LARGE_LLR/filler plumbing is unaffected). Cross-checked in
           tests/test_ldpc.py::test_bf16_decode_matches_f32_outcomes.
+
+        activeRvs: tuple of redundancy versions whose transmissions fed
+          ``recovered`` (rate-matching-aware row pruning, bit-identical —
+          see LdpcConfig.active_rows). None = no pruning assumption.
         """
         if impl == "auto":
             impl = "dense" if jax.default_backend() == "cpu" else "soa"
+        active = self.cfg.active_rows(
+            tuple(activeRvs) if activeRvs is not None else None)
         if impl == "dense":
             return self._decode_dense(recovered, numIter, onlyInfoBits,
-                                      outputBelief, dtype)
+                                      outputBelief, dtype, active)
         c = self.cfg
         z = c.liftingSize
         lead = recovered.shape[:-1]
@@ -449,9 +508,9 @@ class LdpcDecoder:
         r_full = jnp.concatenate(
             [jnp.zeros(lead + (2 * z,), dtype), rx], axis=-1)
         rcols = tuple(r_full[..., ci * z:(ci + 1) * z] for ci in range(c.numCols))
+        layers = [self._layers[i] for i in active]
         lls = tuple(tuple(jnp.zeros(lead + (z,), dtype) for _ in cols)
-                    for cols, _ in self._layers)
-        layers = self._layers
+                    for cols, _ in layers)
 
         def one_iteration(_, carry):
             rcols, lls = carry
@@ -494,24 +553,26 @@ class LdpcDecoder:
         return (beliefs < 0).astype(jnp.int8)
 
     def _decode_dense(self, recovered, numIter, onlyInfoBits, outputBelief,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, active=None):
         """Gather/scatter formulation of decode (cheap to compile on CPU)."""
         c = self.cfg
         z = c.liftingSize
+        layers = [self._layers[i] for i in (
+            active if active is not None else range(c.numParityRows))]
         lead = recovered.shape[:-1]
         rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
         r = jnp.concatenate(
             [jnp.zeros(lead + (2 * z,), dtype), rx], axis=-1
         ).reshape(lead + (c.numCols, z))
         offs, off = [], 0
-        for cols, _ in self._layers:
+        for cols, _ in layers:
             offs.append(off)
             off += len(cols)
         ll = jnp.zeros(lead + (off, z), dtype)
 
         def one_iteration(_, carry):
             r, ll = carry
-            for (cols, shifts), lo in zip(self._layers, offs):
+            for (cols, shifts), lo in zip(layers, offs):
                 ci, fwd = _gather_info(self, cols, shifts)
                 bwd = (np.arange(z)[None, :] - np.asarray(shifts)[:, None]) % z
                 sl = slice(lo, lo + len(cols))
@@ -634,22 +695,32 @@ class LdpcDecoder:
 
     def decode_tb_full(self, llrs: jnp.ndarray, rv: int = 0, numIter: int = 5,
                        softBuffer: jnp.ndarray | None = None,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, activeRvs="auto"):
         """LLRs (..., G) -> (payload (..., A), tbOk (...), cbOk (..., C), buffer).
 
         ``cbOk`` is the per-code-block CRC pass flag (reference
         ldpc.py checkCrcAndMerge semantics); ``tbOk`` additionally checks the
-        transport-block CRC on the merged payload."""
+        transport-block CRC on the merged payload.
+
+        activeRvs="auto": when there is no HARQ soft buffer the only channel
+        LLRs are this transmission's, so rate-matching-aware row pruning at
+        (rv,) applies (bit-identical, see LdpcConfig.active_rows); with a
+        soft buffer the combined history is unknown here — no pruning unless
+        the caller passes the history's rv tuple explicitly."""
         c = self.cfg
+        if activeRvs == "auto":
+            activeRvs = (rv,) if softBuffer is None else None
         rec, buf = self.recover_rate(llrs, rv, softBuffer)
-        decoded = self.decode(rec, numIter, dtype=dtype)
+        decoded = self.decode(rec, numIter, dtype=dtype, activeRvs=activeRvs)
         merged, cbOk = self.check_crc_and_merge(decoded)
         tbOk = crc_mod.check_crc_device(merged, self._tb_crc_mat) & jnp.all(cbOk, axis=-1)
         return merged[..., :c.payloadSize], tbOk, cbOk, buf
 
     def decode_tb(self, llrs: jnp.ndarray, rv: int = 0, numIter: int = 5,
-                  softBuffer: jnp.ndarray | None = None, dtype=jnp.float32):
+                  softBuffer: jnp.ndarray | None = None, dtype=jnp.float32,
+                  activeRvs="auto"):
         """One-shot: LLRs (..., G) -> (payload (..., A), tbOk (...), buffer)."""
         payload, tbOk, _, buf = self.decode_tb_full(llrs, rv, numIter,
-                                                    softBuffer, dtype)
+                                                    softBuffer, dtype,
+                                                    activeRvs)
         return payload, tbOk, buf

@@ -122,6 +122,39 @@ def test_ldpc_is_valid_coded_block_and_decode2():
     assert np.all(np.asarray(cbok))
 
 
+@pytest.mark.parametrize("A,bgn,mod,rate,rv", [
+    (3000, 1, "16QAM", 490 / 1024, 0),
+    (3000, 2, "QPSK", 300 / 1024, 0),
+    (3000, 1, "16QAM", 490 / 1024, 2),
+    (1000, 1, "64QAM", 800 / 1024, 3),
+])
+def test_active_rows_pruning_exact(A, bgn, mod, rate, rv):
+    """Rate-matching-aware layer pruning (LdpcConfig.active_rows) is
+    bit-identical: a row whose degree-1 extension-parity column never
+    receives channel LLRs sends exactly-zero messages at every layered
+    min-sum iteration, so skipping it changes no belief. Assert full
+    belief equality between the pruned and unpruned decoders, and that
+    the pruning actually bites at these rates."""
+    cfg = LdpcConfig(A, bgn, mod, txLayers=2, targetRate=rate)
+    act = cfg.active_rows((rv,))
+    assert 4 <= len(act) < cfg.numParityRows  # prunes something, keeps core
+    rng = np.random.default_rng(5)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    txb = jnp.asarray(rng.integers(0, 2, (A,)).astype(np.int8))
+    rm = np.asarray(enc.encode_tb(txb, rv=rv), np.float64)
+    llrs = jnp.asarray((1.0 - 2.0 * rm) + rng.normal(0, 0.6, rm.shape))
+    rec, _ = dec.recover_rate(llrs, rv=rv)
+    bFull = np.asarray(dec.decode(rec, numIter=5, outputBelief=True))
+    bPruned = np.asarray(dec.decode(rec, numIter=5, outputBelief=True,
+                                    activeRvs=(rv,)))
+    assert np.array_equal(bFull, bPruned)
+    # the decode_tb auto path (softBuffer=None -> prune at (rv,)) agrees too
+    pAuto, okAuto, _ = dec.decode_tb(llrs, rv=rv)
+    pNone, okNone, _ = dec.decode_tb(llrs, rv=rv, activeRvs=None)
+    assert np.array_equal(np.asarray(pAuto), np.asarray(pNone))
+    assert bool(okAuto) == bool(okNone)
+
+
 def test_bf16_decode_matches_f32_outcomes():
     """bfloat16 message passing (the TPU fast path, decoderDtype='bfloat16')
     must track float32 min-sum: identical decodes well above threshold, and
