@@ -352,8 +352,13 @@ class CdlChannel(ChannelBase):
         h = jnp.einsum("rax,abx,tbx->rtx", fieldRx.astype(polMat.dtype),
                        polMat, fieldTx.astype(polMat.dtype))
         h = h * locRx[:, None] * locTx[None, :]
-        h = h[None] * doppler[:, None, None]                    # (nc+1, nr, nt, n*m)
-        h = h.reshape(h.shape[:-1] + (n, m)).sum(-1)            # combine rays
+        # apply Doppler + combine rays as ONE per-cluster batched dot over
+        # the m=20 rays (contraction), instead of materializing the
+        # (nc+1, nr, nt, n*m) broadcast product (~1 MB/trial, the hottest
+        # intermediate of the whole pipeline at Monte-Carlo batch sizes)
+        # and reducing it
+        h = jnp.einsum("rtnm,cnm->crtn", h.reshape(h.shape[:-1] + (n, m)),
+                       doppler.reshape(doppler.shape[:-1] + (n, m)))
         h = h * jnp.sqrt(jnp.asarray(self._pN) / m)
         return h                                                # (nc+1, nr, nt, n)
 

@@ -308,18 +308,75 @@ class PdschConfig:
         return [np.asarray([rb * 12 + r for rb in rbs for r in range(12)], np.int32)
                 for _, rbs in sorted(groups.items())]
 
-    def precoding_matrix_traced(self, channelMatrix: jnp.ndarray) -> jnp.ndarray:
+    @staticmethod
+    def _gram_right_singvecs_2(h, nl):
+        """Top-nl right singular vectors of h (..., 2, Nt), nl <= 2, from the
+        closed-form eigendecomposition of the 2x2 Gram matrix G = h h^H —
+        no ``jnp.linalg.svd`` (a batched-tiny-matrix TPU slow path: ~24 ms
+        per 1536-trial dispatch on the headline bench; this form is ~free).
+
+        Deviation (phase convention only): SVD singular vectors are defined
+        up to a unit phase per column (and an arbitrary orthonormal basis in
+        degenerate subspaces); this closed form picks a different phase than
+        LAPACK's gesdd, so precoded grids differ by per-layer phases from
+        the reference's numpy-SVD precoder. Link-level statistics are
+        invariant (the effective channel H.F is what LS estimation/MMSE
+        equalization see; per-column phases rotate it unitarily) — gated by
+        tests/test_bler_parity.py and the high-SNR checks in
+        tests/test_link_e2e.py.
+        """
+        g00 = jnp.sum(jnp.abs(h[..., 0, :]) ** 2, axis=-1)          # real
+        g11 = jnp.sum(jnp.abs(h[..., 1, :]) ** 2, axis=-1)
+        g01 = jnp.sum(h[..., 0, :] * jnp.conj(h[..., 1, :]), axis=-1)
+        mean = 0.5 * (g00 + g11)
+        diff = 0.5 * (g00 - g11)
+        disc = jnp.sqrt(diff ** 2 + jnp.abs(g01) ** 2)
+        lam1 = mean + disc
+        # eigvec of [[g00, g01], [g01*, g11]] for lam1: [g01, lam1-g00],
+        # with the [lam1-g11, g01*] form where the first degenerates
+        alt = jnp.abs(lam1 - g00) > jnp.abs(lam1 - g11)
+        x = jnp.where(alt, g01, (lam1 - g11).astype(g01.dtype))
+        y = jnp.where(alt, (lam1 - g00).astype(g01.dtype), jnp.conj(g01))
+        nrm = jnp.sqrt(jnp.abs(x) ** 2 + jnp.abs(y) ** 2)
+        safe = nrm > 1e-30
+        x = jnp.where(safe, x / jnp.where(safe, nrm, 1.0), 1.0)
+        y = jnp.where(safe, y / jnp.where(safe, nrm, 1.0), 0.0)
+        # u1 = [x, y]; u2 = [-conj(y), conj(x)] (orthonormal); v_i ~ h^H u_i
+        v1 = jnp.conj(h[..., 0, :]) * x[..., None] \
+            + jnp.conj(h[..., 1, :]) * y[..., None]
+        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True),
+                              1e-30)
+        if nl == 1:
+            return v1[..., None]
+        v2 = -jnp.conj(h[..., 0, :] * y[..., None]) \
+            + jnp.conj(h[..., 1, :]) * jnp.conj(x[..., None])
+        v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True),
+                              1e-30)
+        return jnp.stack([v1, v2], axis=-1)                         # (..., Nt, 2)
+
+    def precoding_matrix_traced(self, channelMatrix: jnp.ndarray,
+                                method: str = "auto") -> jnp.ndarray:
         """Jit-safe SVD precoder (same math as :meth:`getPrecodingMatrix`).
 
         channelMatrix: traced (..., L, K, Nr, Nt). Returns (..., Nt, Nl)
         wideband or (..., K, Nt, Nl) for PRG precoding — shapes accepted by
         :func:`neoradium_tpu.grid.precode`.
+
+        method: 'auto' uses the closed-form 2x2 Gram eigen solve when
+        Nr == 2 and numLayers <= 2 (see :meth:`_gram_right_singvecs_2` —
+        same subspace/powers as the SVD, different per-column phase
+        convention, no TPU small-SVD slow path); 'svd' forces the
+        LAPACK-convention ``jnp.linalg.svd``.
         """
         groups = self._prg_re_groups()
         nl = self.numLayers
+        nrAnt = channelMatrix.shape[-2]
+        useGram = method == "auto" and nrAnt == 2 and nl <= 2
 
         def group_precoder(reIdx):
             h = jnp.mean(channelMatrix[..., :, reIdx, :, :], axis=(-4, -3))
+            if useGram:
+                return self._gram_right_singvecs_2(h, nl) / np.sqrt(nl)
             _, _, vH = jnp.linalg.svd(h, full_matrices=True)
             v = jnp.swapaxes(jnp.conj(vH), -1, -2)
             return v[..., :, :nl] / np.sqrt(nl)

@@ -191,6 +191,12 @@ class PdschLinkSim:
             eqGrid, llrScales = rxGrid, None
 
         llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
+        if self.decoderDtype != jnp.float32:
+            # cast at the demod boundary so XLA fuses it into the LLR
+            # producer and rate recovery's pads/sums also run in the reduced
+            # dtype — the float32 LLR tensor (~190 MB at batch 768) never
+            # touches HBM
+            llrs = [l.astype(self.decoderDtype) for l in llrs]
         bitErr = jnp.zeros((), jnp.int32)
         blkErr = jnp.zeros((), jnp.int32)
         cbErr = jnp.zeros((), jnp.int32)
@@ -325,6 +331,8 @@ class PdschLinkSim:
                     hEff = H @ (F if F.ndim >= 3 else F[None, None])
                 eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
                 llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
+                if self.decoderDtype != jnp.float32:
+                    llrs = [l.astype(self.decoderDtype) for l in llrs]
                 bitErr = jnp.zeros((), jnp.int32)
                 blkErr = jnp.zeros((), jnp.int32)
                 for q in range(numCW):

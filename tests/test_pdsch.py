@@ -113,6 +113,29 @@ def test_re_descriptors():
         assert list(got) == [f"CW{q}-{i}" for i in range(len(fi))]
 
 
+def test_gram_precoder_matches_svd_subspace():
+    """The closed-form 2x2 Gram precoder (the Nr==2 fast path of
+    precoding_matrix_traced) returns the SAME singular subspace and powers
+    as the LAPACK-convention SVD — columns aligned up to a unit phase,
+    orthonormal, preserving the singular values of the averaged channel."""
+    cfg, _ = _build("p1")
+    rng = np.random.default_rng(7)
+    L, K, nr, nt = 4, 612, 2, 8
+    H = jnp.asarray((rng.normal(size=(L, K, nr, nt))
+                     + 1j * rng.normal(size=(L, K, nr, nt))).astype(np.complex64))
+    Fg = np.asarray(cfg.precoding_matrix_traced(H, method="auto"))
+    Fs = np.asarray(cfg.precoding_matrix_traced(H, method="svd"))
+    assert Fg.shape == Fs.shape == (nt, 2)
+    align = np.abs(np.einsum("ti,ti->i", np.conj(Fg), Fs)) * 2  # / (1/sqrt(2))^2
+    assert np.all(align > 1 - 1e-4), align
+    gram = np.einsum("ti,tj->ij", np.conj(Fg), Fg) * 2
+    assert np.abs(gram - np.eye(2)).max() < 1e-4
+    hMean = np.asarray(H).reshape(-1, nr, nt).mean(0)
+    sv = np.linalg.svd(hMean, compute_uv=False)
+    got = np.linalg.norm(hMean @ Fg, axis=0) * np.sqrt(2)
+    assert np.allclose(np.sort(got)[::-1], sv[:2], rtol=1e-4)
+
+
 def test_host_grid_re_desc():
     from neoradium_tpu.grid import HostGrid
     hg = HostGrid(1, 2, 4, useReDesc=True)
