@@ -228,6 +228,31 @@ class ChannelBase:
         h = (h * ramp).reshape(nc, nr, nt, K)
         return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
 
+    def mean_channel(self, state=None, slotNo=0):
+        """Mean over (L, K) of :meth:`channel_matrix`, computed directly
+        from the CIR: the (traced-offset) phase ramp times the DFT column
+        average over the centered subcarrier set {-K/2..K/2-1} has the
+        closed Dirichlet form e^{-j pi d/nFFT} sin(pi K d/nFFT)/sin(pi
+        d/nFFT)/K with d = offset - tap. Exactly equals
+        ``channel_matrix(...).mean(axis=(0, 1))`` without ever reading the
+        (L, K, nr, nt) tensor (~GBs at Monte-Carlo batch sizes) — used by
+        the wideband SVD precoder (sim/link.py). Within one jitted trial
+        XLA CSEs the shared gains/CIR computation with channel_matrix."""
+        gains1 = self.slot_gains(state, slotNo)
+        c, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
+        nc, nr, nt, cl = c.shape
+        nFFT = self.carrier.nFFT
+        K = self.carrier.numSubcarriers
+        rdt = jnp.real(c).dtype
+        d = offset.astype(rdt) - jnp.arange(cl, dtype=rdt)
+        ang = jnp.pi * d / nFFT
+        den = jnp.sin(ang)
+        mag = jnp.where(jnp.abs(den) < 1e-12, jnp.asarray(K, rdt),
+                        jnp.sin(K * ang) / jnp.where(
+                            jnp.abs(den) < 1e-12, 1.0, den))
+        f = (mag / K) * jnp.exp(-1j * ang.astype(c.dtype))
+        return jnp.mean(c, axis=0) @ f.astype(c.dtype)        # (nr, nt)
+
     def apply_to_signal(self, waveform, state=None, slotNo: int = 0,
                         symMapSlot: int | None = None):
         """waveform (..., nt, ns) -> received (..., nr, ns).

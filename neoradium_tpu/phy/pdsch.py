@@ -354,6 +354,29 @@ class PdschConfig:
                               1e-30)
         return jnp.stack([v1, v2], axis=-1)                         # (..., Nt, 2)
 
+    def precoder_from_mean(self, h: jnp.ndarray,
+                           method: str = "auto") -> jnp.ndarray:
+        """Precoder (..., Nt, Nl) from an already-averaged channel
+        h (..., Nr, Nt) — the per-group core of
+        :meth:`precoding_matrix_traced`. Pair with
+        ``ChannelBase.mean_channel`` for the wideband full-band case to
+        skip reading the (L, K, Nr, Nt) tensor entirely."""
+        nl = self.numLayers
+        if method == "auto" and h.shape[-2] == 2 and nl <= 2:
+            return self._gram_right_singvecs_2(h, nl) / np.sqrt(nl)
+        _, _, vH = jnp.linalg.svd(h, full_matrices=True)
+        v = jnp.swapaxes(jnp.conj(vH), -1, -2)
+        return v[..., :, :nl] / np.sqrt(nl)
+
+    @property
+    def wideband_full_band(self) -> bool:
+        """True when the precoder group is wideband over every subcarrier
+        (prgSize 0 and the PRB set covers the whole bandwidth part)."""
+        groups = self._prg_re_groups()
+        return (self.prgSize == 0 and len(groups) == 1
+                and np.array_equal(groups[0],
+                                   np.arange(self.carrier.numSubcarriers)))
+
     def precoding_matrix_traced(self, channelMatrix: jnp.ndarray,
                                 method: str = "auto") -> jnp.ndarray:
         """Jit-safe SVD precoder (same math as :meth:`getPrecodingMatrix`).
@@ -370,16 +393,17 @@ class PdschConfig:
         """
         groups = self._prg_re_groups()
         nl = self.numLayers
-        nrAnt = channelMatrix.shape[-2]
-        useGram = method == "auto" and nrAnt == 2 and nl <= 2
+        K = self.carrier.numSubcarriers
 
         def group_precoder(reIdx):
-            h = jnp.mean(channelMatrix[..., :, reIdx, :, :], axis=(-4, -3))
-            if useGram:
-                return self._gram_right_singvecs_2(h, nl) / np.sqrt(nl)
-            _, _, vH = jnp.linalg.svd(h, full_matrices=True)
-            v = jnp.swapaxes(jnp.conj(vH), -1, -2)
-            return v[..., :, :nl] / np.sqrt(nl)
+            if len(reIdx) == K and np.array_equal(reIdx, np.arange(K)):
+                # full band: skip the (identity) RE gather — it copies the
+                # whole (..., L, K, Nr, Nt) tensor
+                h = jnp.mean(channelMatrix, axis=(-4, -3))
+            else:
+                h = jnp.mean(channelMatrix[..., :, reIdx, :, :],
+                             axis=(-4, -3))
+            return self.precoder_from_mean(h, method)
 
         if self.prgSize == 0:
             return group_precoder(groups[0])

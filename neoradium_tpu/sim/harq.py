@@ -351,7 +351,11 @@ class PdschHarqSim:
 
             # ---- channel with slot-continuous fading + precoding
             H = chan.channel_matrix(chanState, slotNo)
-            F = pdsch.precoding_matrix_traced(H)
+            if pdsch.wideband_full_band:
+                F = pdsch.precoder_from_mean(
+                    chan.mean_channel(chanState, slotNo))
+            else:
+                F = pdsch.precoding_matrix_traced(H)
             txGrid = precode(grid, F)
             if sim.domain == "time":
                 rxGrid, noiseVar = sim.td_channel_rx(

@@ -128,7 +128,13 @@ class PdschLinkSim:
             # stochastic fading channel: fresh realization per trial
             state = chan.init_state(kChan)
             H = chan.channel_matrix(state, self.slotNo)            # (L, K, nr, nt)
-            F = pdsch.precoding_matrix_traced(H)                   # (nt, nl)/(K, nt, nl)
+            if pdsch.wideband_full_band:
+                # averaged channel straight from the CIR (Dirichlet kernel,
+                # ChannelBase.mean_channel) — skips a full read of H
+                F = pdsch.precoder_from_mean(
+                    chan.mean_channel(state, self.slotNo))
+            else:
+                F = pdsch.precoding_matrix_traced(H)               # (nt, nl)/(K, nt, nl)
             txGrid = precode(grid, F)                              # (nt, L, K)
         elif channel is not None:
             H, F = channel, None
@@ -311,7 +317,11 @@ class PdschLinkSim:
                     rmBits.append(self.ldpc[q][0].encode_tb(p))
                 grid = plan.populate(rmBits if numCW > 1 else rmBits[0])
                 H = chan.channel_matrix(state, slotNo)
-                F = pdsch.precoding_matrix_traced(H)
+                if pdsch.wideband_full_band:
+                    F = pdsch.precoder_from_mean(
+                        chan.mean_channel(state, slotNo))
+                else:
+                    F = pdsch.precoding_matrix_traced(H)
                 txGrid = precode(grid, F)
                 if self.domain == "time":
                     rxGrid, noiseVar = self.td_channel_rx(
