@@ -45,7 +45,10 @@ def main():
         decoderDtype="bfloat16")
     point_fn = make_point_fn(sim.make_trial_fn())
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+    # batch sweep on v5e (2026-08, post layer-pruning/mean-channel): 768 ->
+    # 7474, 1024 -> 7367, 1536 -> 7820, 2048 -> 7842 slots/s; 1536 is the
+    # knee (2048 is +0.3% for 33% more memory)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
     keys = make_trial_keys(7, batch)
     snr = jnp.float32(6.0)
 
