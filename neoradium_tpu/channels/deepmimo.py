@@ -384,78 +384,99 @@ class DeepMimoData:
         return np.asarray(traj[:trajLen])
 
     # ----------------------------------------------------------- interpolation
-    def interpolateTrajectory(self, idxTrajectory, speedMps, carrier):
-        """One TrjPoint per slot via path-matched linear interpolation
-        (reference interpolateTrajectory:833-945)."""
-        slotLens = [carrier.slotLen(i) for i in range(carrier.slotsPerSubFrame)]
-        slotStarts = np.concatenate([[0], np.cumsum(slotLens)]).astype(np.int64)
-        subFrameLen = int(carrier.sampleRate // 1000)
-        xyzs = np.asarray([self.allTrjPoints[i].xyz for i in idxTrajectory])
-        segLens = np.sqrt(np.square(xyzs[1:] - xyzs[:-1]).sum(-1))
-        intPoints = []
-        segStart = 0
-        for i in range(1, len(idxTrajectory)):
-            p0 = self.allTrjPoints[idxTrajectory[i - 1]]
-            p1 = self.allTrjPoints[idxTrajectory[i]]
-            numSubFrame = segLens[i - 1] * carrier.sampleRate / (subFrameLen * speedMps)
-            frac = (numSubFrame % 1) * subFrameLen
-            slotIdx = int(np.abs(slotStarts - frac).argmin())
-            numSubFrame = int(numSubFrame)
-            numSegSamples = numSubFrame * subFrameLen + slotStarts[slotIdx]
-            numSteps = numSubFrame * carrier.slotsPerSubFrame + slotIdx
-            reps = numSubFrame + (2 if slotIdx == carrier.slotsPerSubFrame else 1)
-            stepStarts = (slotStarts[None, :-1]
-                          + np.arange(reps, dtype=np.int64)[:, None]
-                          * subFrameLen).flatten()[: numSteps + 1]
-            if segStart > 0:
-                stepStarts = stepStarts[1:]
-            segSpeed = (p1.xyz - p0.xyz) * carrier.sampleRate / numSegSamples
+    # Azimuth-valued pathInfo columns (phase, AOA az, AOD az): interpolated on
+    # the unwrapped circle, then re-wrapped to [-180, 180].
+    _AZ_COLS = np.asarray([0, 3, 5])
 
-            if p0.hasLos == -1 or p1.hasLos == -1:
-                c = 0
+    def _matched_endpoints(self, p0, p1):
+        """Pair up the paths shared by two neighboring grid points.
+
+        Returns ``(ends, los)`` where ``ends`` is a (2, c, 8) stack of the c
+        matched pathInfo rows at each endpoint, with azimuth columns
+        unwrapped jointly so linear interpolation takes the short way around
+        the circle, and ``los`` is the interpolated-segment LOS flag.
+
+        Protocol (parity-forced, golden-tested by tests/test_trjchan.py::
+        test_deepmimo_interpolation_golden; reference deepmimo.py:884-906):
+        a blocked endpoint (hasLos == -1) matches nothing; the match
+        tolerance is the 1e9/c0-scaled diagonal of two grid cells; the
+        segment counts as LOS only if the start point is LOS and either all
+        of its paths survive the matching or the end point is LOS too.
+        """
+        if p0.hasLos < 0 or p1.hasLos < 0 or p0.numPaths == 0:
+            return None, -1
+        maxDiff = 2 * np.linalg.norm(self.delta) * 1e9 / 299792458
+        match = p0.matchPathInfo(p1, maxDiff)
+        keep0 = np.flatnonzero(match >= 0)
+        if keep0.size == 0:
+            return None, -1
+        los = int(p0.hasLos == 1 and (p1.hasLos == 1
+                                      or keep0.size == p0.numPaths))
+        ends = np.stack([p0.pathInfo[keep0], p1.pathInfo[match[keep0]]])
+        ends[:, :, self._AZ_COLS] = np.unwrap(ends[:, :, self._AZ_COLS],
+                                              0.5, axis=0, period=360)
+        return ends, los
+
+    def interpolateTrajectory(self, idxTrajectory, speedMps, carrier):
+        """One TrjPoint per slot-start via path-matched linear interpolation.
+
+        Timing protocol (parity-forced; reference deepmimo.py:833-945,
+        golden fixtures in tests/golden/deepmimo.npz): each grid segment's
+        duration at ``speedMps`` is quantized to a whole number of subframes
+        plus the nearest slot boundary within the fractional subframe, and a
+        point is emitted at every slot start in the segment — endpoints
+        included, with the shared boundary point owned by the earlier
+        segment. Matched paths and the position are interpolated linearly in
+        sample time (:meth:`_matched_endpoints`); when no paths match, the
+        emitted points carry position only and hasLos = -1.
+        """
+        idx = np.asarray(idxTrajectory, np.int64)
+        pts = [self.allTrjPoints[i] for i in idx]
+        sps = carrier.slotsPerSubFrame
+        slotStarts = np.concatenate(
+            [[0], np.cumsum([carrier.slotLen(i) for i in range(sps)])]
+        ).astype(np.int64)
+        sfLen = int(carrier.sampleRate // 1000)
+
+        # Slot-quantized segment timing, vectorized over all segments.
+        xyz = np.stack([p.xyz for p in pts])
+        segVec = np.diff(xyz, axis=0)
+        nSubF = (np.sqrt(np.square(segVec).sum(-1)) * carrier.sampleRate
+                 / (sfLen * speedMps))
+        slotIdx = np.abs(slotStarts[None, :]
+                         - (nSubF % 1)[:, None] * sfLen).argmin(-1)
+        nSubI = nSubF.astype(np.int64)
+        segSamples = nSubI * sfLen + slotStarts[slotIdx]
+        nSteps = nSubI * sps + slotIdx               # slots per segment
+        segBase = np.concatenate([[0], np.cumsum(segSamples)])
+        segSpeed = segVec * carrier.sampleRate / segSamples[:, None]
+
+        points = []
+        for s in range(len(segVec)):
+            # Slot-start sample offsets within the segment, both endpoints
+            # included (0 .. segSamples[s]); generate a subframe too many and
+            # truncate, which also covers the slotIdx == sps carry case.
+            offs = (slotStarts[:-1][None, :]
+                    + sfLen * np.arange(nSubI[s] + 2)[:, None]
+                    ).ravel()[: nSteps[s] + 1]
+            if s > 0:
+                offs = offs[1:]      # boundary point owned by segment s-1
+            ends, los = self._matched_endpoints(pts[s], pts[s + 1])
+            frac = offs[:, None].astype(np.float64) / segSamples[s]
+            pos = xyz[s] + segVec[s] * frac
+            if ends is None:
+                paths = [None] * len(offs)
             else:
-                maxDiff = 2 * np.linalg.norm(self.delta) * 1e9 / 299792458
-                curToNext = p0.matchPathInfo(p1, maxDiff)
-                commonCur = np.where(curToNext > -1)[0]
-                commonNext = curToNext[curToNext != -1]
-                c = len(commonCur)
-            if c == 0:
-                endInfo = np.stack([p0.xyz, p1.xyz])
-                los = -1
-            else:
-                if p0.hasLos == 0:
-                    los = 0
-                elif p0.numPaths - c == 0 or p1.hasLos == 1:
-                    los = 1
-                else:
-                    los = 0
-                endPaths = np.stack([p0.pathInfo[commonCur],
-                                     p1.pathInfo[commonNext]])
-                endPaths[:, :, (0, 3, 5)] = np.unwrap(
-                    endPaths[:, :, (0, 3, 5)], 0.5, 0, period=360)
-                endInfo = np.concatenate(
-                    [endPaths.reshape(2, -1), np.stack([p0.xyz, p1.xyz])],
-                    axis=1)
-            intInfo = endInfo[0] + ((endInfo[1] - endInfo[0])
-                                    * stepStarts.reshape(-1, 1) / numSegSamples)
-            intXyz = intInfo[:, -3:]
-            if c > 0:
-                intPaths = intInfo[:, :-3].reshape(-1, c, 8)
-                a = intPaths[:, :, (0, 3, 5)]
-                intPaths[:, :, (0, 3, 5)] += (a < -180) * 360 - (a > 180) * 360
-                intPoints += [TrjPoint(
-                    xyz, los, pi,
-                    bsDist=np.sqrt(np.square(xyz - self.bsXyz).sum()),
-                    speed=segSpeed, sampleNo=int(s) + segStart)
-                    for xyz, pi, s in zip(intXyz, intPaths, stepStarts)]
-            else:
-                intPoints += [TrjPoint(
-                    xyz, los, None,
-                    bsDist=np.sqrt(np.square(xyz - self.bsXyz).sum()),
-                    speed=segSpeed, sampleNo=int(s) + segStart)
-                    for xyz, s in zip(intXyz, stepStarts)]
-            segStart += int(numSegSamples)
-        return Trajectory(intPoints, self.carrierFreq)
+                paths = ends[0] + (ends[1] - ends[0]) * frac[:, :, None]
+                az = paths[:, :, self._AZ_COLS]
+                paths[:, :, self._AZ_COLS] = (az - 360.0 * (az > 180)
+                                              + 360.0 * (az < -180))
+            bsDist = np.sqrt(np.square(pos - self.bsXyz).sum(-1))
+            points += [TrjPoint(pos[k], los, paths[k], bsDist=bsDist[k],
+                                speed=segSpeed[s],
+                                sampleNo=int(offs[k] + segBase[s]))
+                       for k in range(len(offs))]
+        return Trajectory(points, self.carrierFreq)
 
     def getRandomTrajectory(self, xyBounds, segLen, carrier, trajLen=None,
                             trajTime=None, trajDist=None, xyStart=None,
