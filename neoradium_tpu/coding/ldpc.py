@@ -198,9 +198,15 @@ class LdpcConfig:
         that variable's belief always equals this row's own message, so its
         variable-to-check input is identically 0, the row's min1 is 0, and
         every message it sends to its other columns is exactly 0 at every
-        iteration. Skipping such rows is bit-identical, not an approximation
-        (cross-checked in tests/test_ldpc.py::test_active_rows_exact). For
-        the headline R=490/1024 config this prunes 20 of 46 layers.
+        iteration. Skipping such rows is bit-identical for the decoded
+        codeBlockSize prefix — i.e. for ``decode(..., onlyInfoBits=True)``,
+        which every in-repo caller uses; the pruned degree-1 extension
+        columns themselves keep their (zero) channel LLR instead of
+        receiving the skipped row's message, so full-codeword beliefs and
+        ``is_valid_coded_block`` on them can differ from the unpruned
+        decoder. Cross-checked in
+        tests/test_ldpc.py::test_active_rows_pruning_exact. For the
+        headline R=490/1024 config this prunes 20 of 46 layers (46 -> 26).
         """
         if rvs is None:
             return tuple(range(self.numParityRows))
@@ -494,8 +500,13 @@ class LdpcDecoder:
           tests/test_ldpc.py::test_bf16_decode_matches_f32_outcomes.
 
         activeRvs: tuple of redundancy versions whose transmissions fed
-          ``recovered`` (rate-matching-aware row pruning, bit-identical —
-          see LdpcConfig.active_rows). None = no pruning assumption.
+          ``recovered`` (rate-matching-aware row pruning — see
+          LdpcConfig.active_rows). Bit-identical for the onlyInfoBits=True
+          output used by every in-repo caller; with onlyInfoBits=False the
+          pruned degree-1 extension-parity positions differ from the
+          unpruned decoder (they keep the zero channel LLR), so pass
+          activeRvs=None when the full codeword is needed. None = no
+          pruning assumption.
         """
         if impl == "auto":
             impl = "dense" if jax.default_backend() == "cpu" else "soa"

@@ -126,16 +126,18 @@ class SnrScheduler:
                 self.curLo = max(self.curSnr, self.curLo)
                 self.state, self.curSnr = "AtLow", self.curSnr - step
             elif z == "Hi":
-                raise RuntimeError(f"Unexpected state (GoingDown -> Hi) "
-                                   f"SNR:{self.curSnr} Value:{value}")
+                raise RuntimeError(
+                    f"non-monotonic metric: hit the high bracket while "
+                    f"sweeping down at snr={self.curSnr}, value={value}")
             else:
                 self.curSnr -= step
         elif s == "AtLow":
             if z == "Lo":
                 self.state, self.curSnr = "GoingUp", self._upStart
             elif z == "Hi":
-                raise RuntimeError(f"Unexpected state (AtLow -> Hi) "
-                                   f"SNR:{self.curSnr} Value:{value}")
+                raise RuntimeError(
+                    f"non-monotonic metric: high-bracket value right after "
+                    f"the low end, at snr={self.curSnr}, value={value}")
             else:
                 self.state, self.curSnr = "GoingDown", self.curSnr - step
         elif s == "GoingUp":
@@ -143,16 +145,18 @@ class SnrScheduler:
                 self.curHi = min(self.curSnr, self.curHi)
                 self.state, self.curSnr = "AtHigh", self.curSnr + step
             elif z == "Lo":
-                raise RuntimeError(f"Unexpected state (GoingUp -> Lo) "
-                                   f"SNR:{self.curSnr} Value:{value}")
+                raise RuntimeError(
+                    f"non-monotonic metric: hit the low bracket while "
+                    f"sweeping up at snr={self.curSnr}, value={value}")
             else:
                 self.curSnr += step
         elif s == "AtHigh":
             if z == "Hi":
                 self.state, self.curSnr = "Done", None
             elif z == "Lo":
-                raise RuntimeError(f"Unexpected state (AtHigh -> Lo) "
-                                   f"SNR:{self.curSnr} Value:{value}")
+                raise RuntimeError(
+                    f"non-monotonic metric: low-bracket value right after "
+                    f"the high end, at snr={self.curSnr}, value={value}")
             else:
                 self.state, self.curSnr = "GoingUp", self.curSnr + step
 
