@@ -180,3 +180,34 @@ def test_bf16_decode_matches_f32_outcomes():
         assert agree >= minAgree, (snrDb, agree)
         if snrDb >= 4.0:
             assert bool(jnp.all(okF)) and bool(jnp.all(okB))
+
+
+@pytest.mark.slow
+def test_bf16_decode_bler_matches_f32():
+    """bf16 message passing leaves the BLER statistically indistinguishable
+    from float32 in the middle of the waterfall: |BLER_bf16 - BLER_f32| <
+    3*SE over 1152 blocks x 3 seeds (binomial SE ~1.5% — a real shift of a
+    few percent fails). This is the accuracy license for the headline
+    bench's decoderDtype='bfloat16' (bench.py); the 24-block quick test
+    above only gates gross divergence."""
+    import jax
+    cfg = LdpcConfig(1000, baseGraphNo=1, modulation="QPSK", txLayers=1,
+                     targetRate=490 / 1024)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    B, sigma = 384, float(10 ** (-1.7 / 20))  # 1.7 dB: mid-waterfall
+    nF = nB = n = 0
+    for seed in (11, 12, 13):
+        kBits, kNoise = jax.random.split(jax.random.PRNGKey(seed))
+        payload = jax.random.bernoulli(kBits, 0.5, (B, 1000)).astype(jnp.int8)
+        tx = 1.0 - 2.0 * jax.vmap(enc.encode_tb)(payload).astype(jnp.float32)
+        llrs = 2.0 * (tx + sigma * jax.random.normal(kNoise, tx.shape)) / sigma**2
+        okF = jax.vmap(lambda v: dec.decode_tb(v, numIter=6)[1])(llrs)
+        okB = jax.vmap(lambda v: dec.decode_tb(
+            v, numIter=6, dtype=jnp.bfloat16)[1])(llrs)
+        nF += int(jnp.sum(~okF))
+        nB += int(jnp.sum(~okB))
+        n += B
+    blerF, blerB = nF / n, nB / n
+    assert 0.05 < blerF < 0.95, blerF         # really mid-waterfall
+    se = np.sqrt(blerF * (1 - blerF) / n)
+    assert abs(blerB - blerF) < 3 * se, (blerF, blerB, se)
