@@ -1,6 +1,8 @@
 """End-to-end PDSCH link tests: BLER waterfall over AWGN (validated against a
 reference run at identical config: both cross between +1 and +2 dB), MIMO
 MMSE path, multi-chip sharded Monte-Carlo on the virtual CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,6 +60,47 @@ def test_sharded_sweep_matches_single_device(awgn_sim):
     b = run_bler_sweep(fn, [1.0], numTrials=16, mesh=default_mesh())
     assert a["bitErrors"] == b["bitErrors"]
     assert a["blockErrors"] == b["blockErrors"]
+
+
+def test_headline_fastpath_bler_anchor():
+    """The EXACT bench.py fast-path configuration (bf16 decoder + rv-aware
+    LDPC layer pruning + closed-form Gram precoder + Dirichlet mean-channel
+    feed + LS estimation, CDL-C 8x2, 16QAM, R=490/1024, numIter=5,
+    useRxPower) matches the reference's plain float64 chain statistically:
+    clustered two-proportion z < 3 at TB and CB level at three SNR points
+    spanning the waterfall (fixture: tools/make_golden.py:bler_headline,
+    300 reference ensemble slots per point). This is the accuracy license
+    bench.py cites for its fast-path flags."""
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "bler_headline.npz"))
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
+                      dopplerShift=5,
+                      txAntenna=AntennaPanel((2, 2), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=2),
+                       codeRate=490 / 1024, domain="freq", channelModel=chan,
+                       chEst="ls", decoderIter=5, decoderDtype="bfloat16")
+    from test_bler_parity import two_prop_z
+    res = run_bler_sweep(sim.make_trial_fn(), list(fx["snrs"]), numTrials=128)
+    counts = fx["counts"]
+    cbPerTb = int(counts[0][3] // counts[0][1])
+    for i, snr in enumerate(fx["snrs"]):
+        tbE, tbN, cbE, cbN = counts[i]
+        zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i])
+        zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],
+                         deff=cbPerTb)
+        assert zTb < 3.0, (
+            f"headline fast path @ {snr} dB TB-BLER: ref {tbE}/{tbN}="
+            f"{tbE/tbN:.3f} vs ours {res['blockErrors'][i]}/{res['blocks'][i]}"
+            f"={res['blockErrors'][i]/res['blocks'][i]:.3f} (z={zTb:.2f})")
+        assert zCb < 3.0, (
+            f"headline fast path @ {snr} dB CB-BLER: ref {cbE}/{cbN}="
+            f"{cbE/cbN:.3f} vs ours {res['cbErrors'][i]}/{res['cbs'][i]}"
+            f"={res['cbErrors'][i]/res['cbs'][i]:.3f} (z={zCb:.2f})")
 
 
 @pytest.mark.parametrize("domain,chEst", [("freq", "perfect"), ("freq", "ls"),
