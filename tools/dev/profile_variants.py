@@ -57,7 +57,9 @@ def main():
                 return jnp.sum(jnp.abs(grid) ** 2)
             state = chan.init_state(kChan)
             H = chan.channel_matrix(state, 0)
-            F = sim.pdsch.precoding_matrix_traced(H)
+            # the bench feeds the precoder from the Dirichlet mean-channel
+            # closed form, not the materialized H (sim/link.py fast path)
+            F = sim.pdsch.precoder_from_mean(chan.mean_channel(state, 0))
             txGrid = precode(grid, F)
             rxGrid0 = apply_channel_freq(txGrid, H)
             x = rxGrid0.reshape(-1)
