@@ -183,8 +183,25 @@ class ChannelBase:
         if cm is None:
             cm = jnp.asarray(self.coeffMatrix, dtype=gains.real.dtype)
         c = jnp.einsum("crtp,pl->crtl", gains, cm.astype(gains.dtype))
-        offset = jnp.argmax(jnp.sum(jnp.abs(jnp.sum(c, axis=(0, 2))), axis=0))
-        return c, offset
+        return c, self.cir_offset(c)
+
+    @staticmethod
+    def cir_offset(c):
+        """Timing offset = argmax of the tx-and-time-summed |CIR| (reference
+        prepareForNextSlot chanOffset, channelmodel.py:346)."""
+        return jnp.argmax(jnp.sum(jnp.abs(jnp.sum(c, axis=(0, 2))), axis=0))
+
+    def slot_cirs(self, state, slotNo):
+        """(nc+1, nr, nt, coeffLen) per-symbol-time CIRs for one slot —
+        the normalized path gains contracted with the fractional-delay
+        coefficient rows. Every channel output (channel matrix, TD
+        convolution, timing offset, mean channel) consumes the CIR, so this
+        is the hook fused models override: CdlChannel contracts its ray
+        terms straight against the coefficient rows without materializing
+        per-cluster gains (see CdlChannel.slot_cirs)."""
+        gains1 = self.slot_gains(state, slotNo)
+        cm = jnp.asarray(self.slot_cm(slotNo))
+        return jnp.einsum("crtp,pl->crtl", gains1, cm.astype(gains1.dtype))
 
     # --------------------------------------------------------------- hooks
     # Derived models with per-slot path sets (TrjChannel) override these two;
@@ -204,8 +221,8 @@ class ChannelBase:
         """(L, K, nr, nt) frequency-domain channel for one slot.
 
         ``slotNo`` may be traced (see :meth:`gain_times`)."""
-        gains1 = self.slot_gains(state, slotNo)
-        c, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
+        c = self.slot_cirs(state, slotNo)[:-1]
+        offset = self.cir_offset(c)
         nFFT = self.carrier.nFFT
         nc, nr, nt, cl = c.shape
         K = self.carrier.numSubcarriers
@@ -238,8 +255,8 @@ class ChannelBase:
         (L, K, nr, nt) tensor (~GBs at Monte-Carlo batch sizes) — used by
         the wideband SVD precoder (sim/link.py). Within one jitted trial
         XLA CSEs the shared gains/CIR computation with channel_matrix."""
-        gains1 = self.slot_gains(state, slotNo)
-        c, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
+        c = self.slot_cirs(state, slotNo)[:-1]
+        offset = self.cir_offset(c)
         nc, nr, nt, cl = c.shape
         nFFT = self.carrier.nFFT
         K = self.carrier.numSubcarriers
@@ -273,10 +290,9 @@ class ChannelBase:
         pattern to use (callers scan over slots and lax.switch over the
         distinct patterns).
         """
-        gains1 = self.slot_gains(state, slotNo)            # (nc+1, nr, nt, pp)
+        cirs1 = self.slot_cirs(state, slotNo)              # (nc+1, nr, nt, cl)
         ns = waveform.shape[-1]
-        cm = jnp.asarray(self.slot_cm(slotNo))             # (pp, cl)
-        pp, cl = cm.shape
+        cl = cirs1.shape[-1]
         halo = cl - 1
         symLens = np.asarray(
             self.sym_lens(slotNo if symMapSlot is None else symMapSlot),
@@ -302,10 +318,9 @@ class ChannelBase:
         idx = starts[:, None] - halo + np.arange(halo + lmax)[None, :]
         mask = jnp.asarray(idx >= 0, waveform.dtype)
         blocks = waveform[..., jnp.asarray(np.clip(idx, 0, ns - 1))] * mask
-        # per-block CIR -> frequency response (tiny einsum + short FFTs)
+        # per-block CIR -> frequency response (short FFTs)
         gIdx = np.minimum(np.arange(nb), len(symLens) - 1)
-        g = gains1[jnp.asarray(gIdx)]                      # (nb, nr, nt, pp)
-        c = jnp.einsum("brtp,pl->brtl", g, cm.astype(g.dtype))
+        c = cirs1[jnp.asarray(gIdx)]                       # (nb, nr, nt, cl)
         C = jnp.fft.fft(c, nfft, axis=-1)                  # (nb, nr, nt, f)
         X = jnp.fft.fft(blocks, nfft, axis=-1)             # (..., nt, nb, f)
         Y = jnp.einsum("...tbf,brtf->...brf", X, C)        # (..., nb, nr, f)
@@ -396,6 +411,4 @@ class ChannelBase:
         return out[..., :ns] if pad else out
 
     def timing_offset(self, state=None, slotNo=0):
-        gains1 = self.slot_gains(state, slotNo)
-        _, offset = self.cir(gains1[:-1], jnp.asarray(self.slot_cm(slotNo)))
-        return offset
+        return self.cir_offset(self.slot_cirs(state, slotNo)[:-1])

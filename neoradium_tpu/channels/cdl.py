@@ -327,14 +327,25 @@ class CdlChannel(ChannelBase):
         dot = jnp.einsum("i...,i->...", rHat, dBar)
         return jnp.exp(2j * jnp.pi * t.reshape((-1,) + (1,) * dot.ndim) * dot)
 
-    def _nlos_gains(self, state, tSamples):
+    def _nlos_ray_terms(self, state, tSamples):
+        """Per-ray Doppler phasors and field products on the FLAT
+        clusters*rays axis: returns (doppler (nc+1, n*m), h (nr, nt, n*m)),
+        WITHOUT the per-cluster ray combine or power scaling. Shared by the
+        generic per-cluster gains (:meth:`_nlos_gains`) and the fused CIR
+        path (:meth:`slot_cirs`)."""
         n, m = self.n, self.m
-        rows = jnp.arange(n)[:, None]
         cpl = state["coupling"]
-        phiD = jnp.asarray(self._phiD)
-        phiA = jnp.asarray(self._phiA)[rows, cpl[0]]
-        thetaA = jnp.asarray(self._thetaA)[rows, cpl[1]]
-        thetaD = jnp.asarray(self._thetaD)[rows, cpl[2]]
+        # Ray-coupling permutations as FLAT 1-D takes over the n*m axis
+        # (row r, permuted column c -> r*m + cpl[r, c]): one 480-wide
+        # vectorized gather per angle. The 2-D advanced-indexing form
+        # ([rows, cpl]) lowered to a gather that cost ~20 ms/dispatch at
+        # batch 1536 (measured 2026-08-21, cumulative-variant deltas).
+        rowBase = (jnp.arange(n) * m)[:, None]
+        take = lambda tbl, idx: jnp.take(jnp.asarray(tbl).reshape(-1),
+                                         (rowBase + idx).reshape(-1))
+        phiA = take(self._phiA, cpl[0])
+        thetaA = take(self._thetaA, cpl[1])
+        thetaD = take(self._thetaD, cpl[2])
 
         kappa = toLinear(self.xPolPower)
         # flatten (clusters, rays) into ONE minor axis: m=20 rays as the lane
@@ -342,27 +353,89 @@ class CdlChannel(ChannelBase):
         polMat = jnp.exp(1j * state["phases"].reshape(2, 2, n * m)) * jnp.sqrt(
             jnp.asarray([[1, 1 / kappa], [1 / kappa, 1]])).reshape(2, 2, 1)
         phiD = jnp.asarray(self._phiD).reshape(-1)
-        phiA, thetaA, thetaD = (a.reshape(-1) for a in (phiA, thetaA, thetaD))
 
         fieldTx, locTx = elements_fields(self._txSpec, thetaD, phiD, self.txOrientation)
         fieldRx, locRx = elements_fields(self._rxSpec, thetaA, phiA, self.rxOrientation)
         doppler = self._doppler(thetaA, phiA, tSamples)          # (nc+1, n*m)
 
-        # Eq. 7.5-22: fieldRx^T . polMat . fieldTx, per (cluster*ray)
-        h = jnp.einsum("rax,abx,tbx->rtx", fieldRx.astype(polMat.dtype),
-                       polMat, fieldTx.astype(polMat.dtype))
+        # Eq. 7.5-22: fieldRx^T . polMat . fieldTx per (cluster*ray), with
+        # the 2-element polarization axes a, b unrolled in Python so the
+        # whole thing is fused elementwise broadcasts over the n*m lane
+        # axis. The one-einsum form ("rax,abx,tbx->rtx") made XLA's
+        # complex-dot lowering materialize dozens of transposed copies of
+        # the (nr, nt, n*m) planes — ~27 ms/dispatch at batch 1536.
+        fieldTx = fieldTx.astype(polMat.dtype)
+        fieldRx = fieldRx.astype(polMat.dtype)
+        g = [polMat[a, 0] * fieldTx[:, 0] + polMat[a, 1] * fieldTx[:, 1]
+             for a in range(2)]                                  # (nt, x) each
+        h = (fieldRx[:, 0, None, :] * g[0][None]
+             + fieldRx[:, 1, None, :] * g[1][None])              # (nr, nt, x)
         h = h * locRx[:, None] * locTx[None, :]
-        # apply Doppler + combine rays as the broadcast product over the flat
-        # n*m lane axis + reshape-sum. A/B'd on the headline bench (2026-08,
-        # v5e): this form 7474 slots/s vs 7377 for a static unroll over the
-        # m=20 rays and 7179 for a per-cluster batched einsum dot over m
-        # (tiny (16x20)@(20x15) dots pad catastrophically on the MXU) — XLA
-        # fuses the broadcast into the reduce, so the (nc+1, nr, nt, n*m)
-        # product never materializes
+        return doppler, h
+
+    def _nlos_gains(self, state, tSamples):
+        n, m = self.n, self.m
+        doppler, h = self._nlos_ray_terms(state, tSamples)
+        # Per-cluster gains for generic consumers (path_gains API parity
+        # with reference getNLOSgains). The HOT path does not come through
+        # here: slot_cirs contracts the ray terms straight against the
+        # coefficient rows (fused matmul) — see slot_cirs for the HLO
+        # evidence that motivated the split.
         h = h[None] * doppler[:, None, None]            # (nc+1, nr, nt, n*m)
         h = h.reshape(h.shape[:-1] + (n, m)).sum(-1)    # combine rays
         h = h * jnp.sqrt(jnp.asarray(self._pN) / m)
-        return h                                                # (nc+1, nr, nt, n)
+        return h
+
+    def slot_cirs(self, state, slotNo):
+        """Fused per-symbol-time CIRs: sum_x d[s,x] h[r,t,x] W[x,l] as ONE
+        matmul contracting the flat clusters*rays axis x (n*m=480 for the
+        3GPP profiles), with W[x,l] = coeffRow[cluster(x),l] *
+        sqrt(pN[cluster(x)]/m) * normalization — i.e. the per-cluster ray
+        combine and the gains-times-coefficients contraction reassociated
+        into a single reduction over x (identical terms, different float
+        grouping; goldens hold at 1e-9).
+
+        Why (HLO evidence, 2026-08-21, headline bench batch 1536): the
+        per-cluster path made XLA materialize the (nc+1, nr, nt, n*m)
+        Doppler product plus dozens of transposed copies — 708 MB/dispatch,
+        52 of the pipeline's 96.5 MB/slot of HBM traffic, ~50 of 197 ms —
+        because the m=20 reshape-sum is a lane-wasting segment reduce that
+        XLA cannot fuse into one pass at this batch. Here the same-shaped
+        product is built exactly once as the LHS of an MXU matmul
+        ((nc+1)*nr*nt, x) @ (x, coeffLen) whose contraction axis is 480
+        lanes wide (per-cluster m=20 dots pad catastrophically instead:
+        7179 slots/s when A/B'd round 3)."""
+        tSamples = self.gain_times(slotNo)
+        d, h = self._nlos_ray_terms(state, tSamples)
+        W = getattr(self, "_fusedW", None)
+        if W is None:
+            cm = np.asarray(self.coeffMatrix, np.float64)      # (pp, cl)
+            off = 1 if self.hasLos else 0
+            scale = np.sqrt(np.asarray(self._pN) / self.m)     # (n,)
+            norm = 1.0
+            if self.normalizeOutput:
+                norm /= np.sqrt(self.nrNt[0])
+            if self.normalizeGains:
+                norm /= np.sqrt(toLinear(self.pathPowers).sum())
+            W = np.repeat(cm[off:] * scale[:, None] * norm, self.m, axis=0)
+            self._fusedW = W                                   # (n*m, cl)
+            self._fusedLosRow = cm[0] * norm if self.hasLos else None
+        # The ray-term product E[s,r,t,x] = d[s,x] h[r,t,x] in explicit
+        # real/imag planes: a complex-dot einsum here makes XLA's complex
+        # lowering materialize dozens of transposed copies of the product
+        # (HLO: the f32[B,15,2,8,480] buffer appeared x31); two real f32
+        # matmuls against the real W read each plane exactly once.
+        dr, di = jnp.real(d), jnp.imag(d)
+        hr, hi = jnp.real(h), jnp.imag(h)
+        Er = dr[:, None, None, :] * hr[None] - di[:, None, None, :] * hi[None]
+        Ei = dr[:, None, None, :] * hi[None] + di[:, None, None, :] * hr[None]
+        Wj = jnp.asarray(W, Er.dtype)
+        c = jax.lax.complex(jnp.einsum("srtx,xl->srtl", Er, Wj),
+                            jnp.einsum("srtx,xl->srtl", Ei, Wj))
+        if self.hasLos:
+            gl = self._los_gains(tSamples)[..., 0]         # (nc+1, nr, nt)
+            c = c + gl[..., None] * jnp.asarray(self._fusedLosRow)
+        return c
 
     def _los_gains(self, tSamples):
         thetaD = jnp.asarray(self._losThetaD)

@@ -79,6 +79,20 @@ def main():
 
     keys = make_trial_keys(7, batch)
     snr = jnp.float32(6.0)
+
+    if "--cost" in sys.argv:
+        # XLA cost-analysis deltas: bytes/FLOPs attribution per sub-stage
+        # (compile-only; the persistent cache makes re-lowering cheap)
+        prevB = prevF = 0.0
+        for st in STAGES:
+            cost = upto(st).lower(keys, snr).compile().cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            b, f = float(cost.get("bytes accessed", 0)), float(cost.get("flops", 0))
+            print(f"  {st:8s}: +{(b - prevB)/batch/1e6:8.2f} MB/slot  "
+                  f"+{(f - prevF)/batch/1e6:8.1f} MFLOP/slot")
+            prevB, prevF = b, f
+        return
+
     times = {}
     for st in STAGES:
         fn = upto(st)
