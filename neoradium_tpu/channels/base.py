@@ -238,7 +238,14 @@ class ChannelBase:
             self._dft_kidx = kIdx
             W = np.exp(-2j * np.pi * np.outer(np.arange(cl), kIdx) / nFFT)
             self._dft_w = W                                    # complex128 host
-        h = c.reshape(nc * nr * nt, cl) @ jnp.asarray(W, c.dtype)
+        # complex DFT matmul in explicit real arithmetic: XLA's complex-dot
+        # lowering shuffles real/imag planes through transposed copies (same
+        # pathology as CdlChannel.slot_cirs); 4 real MXU matmuls read each
+        # plane once
+        c2 = c.reshape(nc * nr * nt, cl)
+        cr, ci = jnp.real(c2), jnp.imag(c2)
+        Wr, Wi = jnp.asarray(W.real, cr.dtype), jnp.asarray(W.imag, cr.dtype)
+        h = jax.lax.complex(cr @ Wr - ci @ Wi, cr @ Wi + ci @ Wr)
         rdt = jnp.real(h).dtype
         ramp = jnp.exp(2j * jnp.pi * jnp.asarray(self._dft_kidx, rdt)
                        * (offset.astype(rdt) / nFFT)).astype(h.dtype)

@@ -295,24 +295,38 @@ class CdlChannel(ChannelBase):
 
     # --------------------------------------------------------------- state
     def init_state(self, key):
-        """Per-trial random state: ray coupling (3, n, m) + phases (2,2,n,m)."""
+        """Per-trial random state: coupled ray angles (3, n*m — the phiA /
+        thetaA / thetaD tables with each cluster's rays permuted by the
+        random coupling, reference Step 2 / getRandomRayCoupling) + initial
+        phases (2, 2, n, m).
+
+        The state stores the PERMUTED ANGLE VALUES, not coupling indices: a
+        per-trial (24, 20) gather costs ~6 ms/dispatch per angle at batch
+        1536 on TPU, while permuting at state-init time is free — the
+        random path sorts iid uniform keys carrying the angle rows as
+        payload (tbl[argsort(u)] with no gather; stable sort keeps it
+        bit-identical to the argsort formulation), and fixed couplings
+        (goldens, matlabRandomInit) permute on host."""
+        tbls = np.stack([self._phiA, self._thetaA, self._thetaD])  # (3,n,m)
+        if self._fixed_coupling is not None:
+            fixedAng = np.take_along_axis(
+                tbls, np.asarray(self._fixed_coupling, np.int64), axis=-1)
         if self._fixed_coupling is not None and self._fixed_phases is not None:
-            return dict(coupling=jnp.asarray(self._fixed_coupling),
+            return dict(rayAngles=jnp.asarray(fixedAng.reshape(3, -1)),
                         phases=jnp.asarray(self._fixed_phases))
         kc, kp = jax.random.split(key)
-        # uniform random ray permutations as ONE batched argsort (argsort of
-        # iid uniforms) — 3n separate jax.random.permutation calls cost ~25ms
-        # per 256-trial batch on TPU
-        coupling = jnp.argsort(
-            jax.random.uniform(kc, (3, self.n, self.m)), axis=-1
-        ).astype(jnp.int32)
+        u = jax.random.uniform(kc, (3, self.n, self.m))
+        if self._fixed_coupling is not None:
+            ang = jnp.asarray(fixedAng)
+        else:
+            _, ang = jax.lax.sort(
+                (u, jnp.broadcast_to(jnp.asarray(tbls), u.shape)),
+                dimension=-1, num_keys=1, is_stable=True)
         phases = jax.random.uniform(kp, (2, 2, self.n, self.m),
                                     minval=-jnp.pi, maxval=jnp.pi)
-        if self._fixed_coupling is not None:
-            coupling = jnp.asarray(self._fixed_coupling)
         if self._fixed_phases is not None:
             phases = jnp.asarray(self._fixed_phases)
-        return dict(coupling=coupling, phases=phases)
+        return dict(rayAngles=ang.reshape(3, -1), phases=phases)
 
     # --------------------------------------------------------------- gains
     def _doppler(self, thetaA, phiA, tSamples):
@@ -323,8 +337,22 @@ class CdlChannel(ChannelBase):
         sinT = jnp.sin(thetaA)
         rHat = jnp.stack([sinT * jnp.cos(phiA), sinT * jnp.sin(phiA),
                           jnp.cos(thetaA)])
-        t = jnp.asarray(tSamples) / self.sampleRate
         dot = jnp.einsum("i...,i->...", rHat, dBar)
+        if isinstance(tSamples, (np.ndarray, list, tuple)):
+            # Host-known evaluation times (the per-slot symbol starts take
+            # only 2 distinct spacings): build the phasors incrementally —
+            # one complex exp per DISTINCT time step plus cheap fused
+            # complex multiplies, instead of a (len(t), n*m) exp (~10 ms of
+            # the headline dispatch at batch 1536). Drift after <=14
+            # multiplies is ~len(t)*eps, far inside every gate.
+            t = np.asarray(tSamples, np.float64) / self.sampleRate
+            steps = {dt: jnp.exp(2j * jnp.pi * dt * dot)
+                     for dt in sorted(set(np.diff(t)))}
+            rows = [jnp.exp(2j * jnp.pi * t[0] * dot)]
+            for dt in np.diff(t):
+                rows.append(rows[-1] * steps[dt])
+            return jnp.stack(rows)
+        t = jnp.asarray(tSamples) / self.sampleRate
         return jnp.exp(2j * jnp.pi * t.reshape((-1,) + (1,) * dot.ndim) * dot)
 
     def _nlos_ray_terms(self, state, tSamples):
@@ -334,18 +362,9 @@ class CdlChannel(ChannelBase):
         generic per-cluster gains (:meth:`_nlos_gains`) and the fused CIR
         path (:meth:`slot_cirs`)."""
         n, m = self.n, self.m
-        cpl = state["coupling"]
-        # Ray-coupling permutations as FLAT 1-D takes over the n*m axis
-        # (row r, permuted column c -> r*m + cpl[r, c]): one 480-wide
-        # vectorized gather per angle. The 2-D advanced-indexing form
-        # ([rows, cpl]) lowered to a gather that cost ~20 ms/dispatch at
-        # batch 1536 (measured 2026-08-21, cumulative-variant deltas).
-        rowBase = (jnp.arange(n) * m)[:, None]
-        take = lambda tbl, idx: jnp.take(jnp.asarray(tbl).reshape(-1),
-                                         (rowBase + idx).reshape(-1))
-        phiA = take(self._phiA, cpl[0])
-        thetaA = take(self._thetaA, cpl[1])
-        thetaD = take(self._thetaD, cpl[2])
+        # coupling-permuted angles straight from the state (no gather —
+        # see init_state)
+        phiA, thetaA, thetaD = (state["rayAngles"][i] for i in range(3))
 
         kappa = toLinear(self.xPolPower)
         # flatten (clusters, rays) into ONE minor axis: m=20 rays as the lane
