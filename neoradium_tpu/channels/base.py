@@ -222,15 +222,40 @@ class ChannelBase:
 
         ``slotNo`` may be traced (see :meth:`gain_times`)."""
         c = self.slot_cirs(state, slotNo)[:-1]
+        return self._cir_to_freq(c, self.cir_offset(c))
+
+    def effective_channel_matrix(self, state, slotNo, F):
+        """(L, K, nr, nl) post-precoding channel H @ F for a wideband
+        precoder F (nt, nl), WITHOUT materializing the (L, K, nr, nt)
+        channel tensor: the precoder contracts against the short CIR
+        (nc, nr, nt, cl) BEFORE the tap->subcarrier DFT, so the DFT matmul
+        shrinks by nt/nl and the only (L, K)-sized tensor is the effective
+        channel itself (~nt/nl x less HBM traffic; at the headline config
+        H is 2.2 MB/trial vs Heff 0.55 MB). Equals
+        ``channel_matrix(...) @ F`` up to float reassociation."""
+        c = self.slot_cirs(state, slotNo)[:-1]             # (nc, nr, nt, cl)
         offset = self.cir_offset(c)
+        nt, nl = F.shape
+        # contraction over the tiny nt axis unrolled (SoA rule)
+        ceff = jnp.stack(
+            [sum(c[..., t, :] * F[t, n] for t in range(nt))
+             for n in range(nl)], axis=-2)                 # (nc, nr, nl, cl)
+        return self._cir_to_freq(ceff, offset)
+
+    def _cir_to_freq(self, c, offset):
+        """(nc, nr, np, cl) CIR -> (L, K, nr, np) frequency response.
+
+        Direct DFT of the short CIR as ONE matmul (MXU) over the cl ~ 100
+        taps x K wanted subcarriers, instead of zero-padding to nFFT,
+        rolling by the (traced) timing offset, and a full FFT; the offset
+        roll becomes a per-subcarrier phase ramp (shift theorem). ~23ms ->
+        ~1ms per 256-trial batch on the headline bench. The complex matmul
+        runs in explicit real arithmetic: XLA's complex-dot lowering
+        shuffles real/imag planes through transposed copies (same pathology
+        as CdlChannel.slot_cirs); 4 real MXU matmuls read each plane once."""
         nFFT = self.carrier.nFFT
-        nc, nr, nt, cl = c.shape
+        nc, nr, np_, cl = c.shape
         K = self.carrier.numSubcarriers
-        # Direct DFT of the short CIR as ONE complex matmul (MXU) over the
-        # cl ~ 100 taps x K wanted subcarriers, instead of zero-padding to
-        # nFFT, rolling by the (traced) timing offset, and a full FFT; the
-        # offset roll becomes a per-subcarrier phase ramp (shift theorem).
-        # ~23ms -> ~1ms per 256-trial batch on the headline bench.
         W = getattr(self, "_dft_w", None)
         if W is None or W.shape != (cl, K):
             kIdx = np.concatenate(
@@ -238,19 +263,15 @@ class ChannelBase:
             self._dft_kidx = kIdx
             W = np.exp(-2j * np.pi * np.outer(np.arange(cl), kIdx) / nFFT)
             self._dft_w = W                                    # complex128 host
-        # complex DFT matmul in explicit real arithmetic: XLA's complex-dot
-        # lowering shuffles real/imag planes through transposed copies (same
-        # pathology as CdlChannel.slot_cirs); 4 real MXU matmuls read each
-        # plane once
-        c2 = c.reshape(nc * nr * nt, cl)
+        c2 = c.reshape(nc * nr * np_, cl)
         cr, ci = jnp.real(c2), jnp.imag(c2)
         Wr, Wi = jnp.asarray(W.real, cr.dtype), jnp.asarray(W.imag, cr.dtype)
         h = jax.lax.complex(cr @ Wr - ci @ Wi, cr @ Wi + ci @ Wr)
         rdt = jnp.real(h).dtype
         ramp = jnp.exp(2j * jnp.pi * jnp.asarray(self._dft_kidx, rdt)
                        * (offset.astype(rdt) / nFFT)).astype(h.dtype)
-        h = (h * ramp).reshape(nc, nr, nt, K)
-        return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, nt)
+        h = (h * ramp).reshape(nc, nr, np_, K)
+        return jnp.transpose(h, (0, 3, 1, 2))                  # (L, K, nr, np)
 
     def mean_channel(self, state=None, slotNo=0):
         """Mean over (L, K) of :meth:`channel_matrix`, computed directly

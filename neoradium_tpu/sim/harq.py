@@ -350,18 +350,29 @@ class PdschHarqSim:
             grid = plan.populate(rmBits if self.numCW > 1 else rmBits[0])
 
             # ---- channel with slot-continuous fading + precoding
-            H = chan.channel_matrix(chanState, slotNo)
+            Heff = None
             if pdsch.wideband_full_band:
                 F = pdsch.precoder_from_mean(
                     chan.mean_channel(chanState, slotNo))
+                H = None
             else:
+                H = chan.channel_matrix(chanState, slotNo)
                 F = pdsch.precoding_matrix_traced(H)
-            txGrid = precode(grid, F)
+            if sim.domain == "freq" and F.ndim == 2:
+                # precoder folded into the CIR before the DFT (see
+                # PdschLinkSim.make_trial_fn / effective_channel_matrix)
+                Heff = chan.effective_channel_matrix(chanState, slotNo, F)
+                txGrid = grid
+            else:
+                if H is None:
+                    H = chan.channel_matrix(chanState, slotNo)
+                txGrid = precode(grid, F)
             if sim.domain == "time":
                 rxGrid, noiseVar = sim.td_channel_rx(
                     txGrid, chanState, slotNo, kNoise, snr)
             else:
-                rxGrid0 = apply_channel_freq(txGrid, H)
+                rxGrid0 = apply_channel_freq(txGrid,
+                                             Heff if Heff is not None else H)
                 if sim.useRxPower:
                     sigma = jnp.sqrt(jnp.var(rxGrid0.reshape(-1)) / snr)
                 else:
@@ -372,6 +383,8 @@ class PdschHarqSim:
 
             if sim.chEst == "ls":
                 hEff, _ = sim.estimator.estimate(rxGrid)
+            elif Heff is not None:
+                hEff = Heff
             else:
                 hEff = H @ (F if F.ndim >= 3 else F[None, None])
             eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)

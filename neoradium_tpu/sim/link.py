@@ -124,18 +124,30 @@ class PdschLinkSim:
         grid = plan.populate(rmBits if numCW > 1 else rmBits[0])   # (Nl, L, K)
 
         chan = self.channelModel
+        Heff = None
         if chan is not None:
             # stochastic fading channel: fresh realization per trial
             state = chan.init_state(kChan)
-            H = chan.channel_matrix(state, self.slotNo)            # (L, K, nr, nt)
             if pdsch.wideband_full_band:
                 # averaged channel straight from the CIR (Dirichlet kernel,
                 # ChannelBase.mean_channel) — skips a full read of H
                 F = pdsch.precoder_from_mean(
                     chan.mean_channel(state, self.slotNo))
+                H = None
             else:
+                H = chan.channel_matrix(state, self.slotNo)        # (L, K, nr, nt)
                 F = pdsch.precoding_matrix_traced(H)               # (nt, nl)/(K, nt, nl)
-            txGrid = precode(grid, F)                              # (nt, L, K)
+            if self.domain == "freq" and F.ndim == 2:
+                # wideband precoder folded into the channel BEFORE the
+                # tap->subcarrier DFT (effective_channel_matrix): the
+                # (L, K, nr, nt) tensor and the precoded grid are never
+                # materialized — only the nl-wide effective channel is
+                Heff = chan.effective_channel_matrix(state, self.slotNo, F)
+                txGrid = grid
+            else:
+                if H is None:
+                    H = chan.channel_matrix(state, self.slotNo)
+                txGrid = precode(grid, F)                          # (nt, L, K)
         elif channel is not None:
             H, F = channel, None
             txGrid = grid
@@ -173,8 +185,11 @@ class PdschLinkSim:
             rxGrid = self.ofdm.demodulate(noisy)
             noiseVar = sigma ** 2 * self.carrier.nFFT
         else:
-            rxGrid0 = apply_channel_freq(txGrid, H) if H is not None else txGrid
-            if self.useRxPower and H is not None:
+            if Heff is not None:
+                rxGrid0 = apply_channel_freq(txGrid, Heff)
+            else:
+                rxGrid0 = apply_channel_freq(txGrid, H) if H is not None else txGrid
+            if self.useRxPower and (H is not None or Heff is not None):
                 # reference grid.py:1028-1046: sigma^2 = grid.var()/snr
                 x = rxGrid0.reshape(rxGrid0.shape[:-3] + (-1,))
                 sigma = jnp.sqrt(jnp.var(x, axis=-1) / snr)
@@ -188,6 +203,8 @@ class PdschLinkSim:
         if chan is not None:
             if self.chEst == "ls":
                 hEff, _estNv = self.estimator.estimate(rxGrid)
+            elif Heff is not None:
+                hEff = Heff                                        # (L, K, nr, nl)
             else:
                 hEff = H @ (F if F.ndim >= 3 else F[None, None])   # (L, K, nr, nl)
             eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
@@ -316,18 +333,30 @@ class PdschLinkSim:
                     payloads.append(p)
                     rmBits.append(self.ldpc[q][0].encode_tb(p))
                 grid = plan.populate(rmBits if numCW > 1 else rmBits[0])
-                H = chan.channel_matrix(state, slotNo)
+                Heff = None
                 if pdsch.wideband_full_band:
                     F = pdsch.precoder_from_mean(
                         chan.mean_channel(state, slotNo))
+                    H = None
                 else:
+                    H = chan.channel_matrix(state, slotNo)
                     F = pdsch.precoding_matrix_traced(H)
-                txGrid = precode(grid, F)
+                if self.domain == "freq" and F.ndim == 2:
+                    # precoder folded into the CIR before the DFT — the
+                    # full (L, K, nr, nt) tensor never materializes (see
+                    # make_trial_fn / effective_channel_matrix)
+                    Heff = chan.effective_channel_matrix(state, slotNo, F)
+                    txGrid = grid
+                else:
+                    if H is None:
+                        H = chan.channel_matrix(state, slotNo)
+                    txGrid = precode(grid, F)
                 if self.domain == "time":
                     rxGrid, noiseVar = self.td_channel_rx(
                         txGrid, state, slotNo, kNoise, snr)
                 else:
-                    rxGrid0 = apply_channel_freq(txGrid, H)
+                    rxGrid0 = apply_channel_freq(txGrid,
+                                                 Heff if Heff is not None else H)
                     if self.useRxPower:
                         sigma = jnp.sqrt(jnp.var(rxGrid0.reshape(-1)) / snr)
                     else:
@@ -337,6 +366,8 @@ class PdschLinkSim:
                     noiseVar = sigma ** 2
                 if self.chEst == "ls":
                     hEff, _ = self.estimator.estimate(rxGrid)
+                elif Heff is not None:
+                    hEff = Heff
                 else:
                     hEff = H @ (F if F.ndim >= 3 else F[None, None])
                 eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
