@@ -56,12 +56,12 @@ def main():
             if cut == 0:
                 return jnp.sum(jnp.abs(grid) ** 2)
             state = chan.init_state(kChan)
-            H = chan.channel_matrix(state, 0)
-            # the bench feeds the precoder from the Dirichlet mean-channel
-            # closed form, not the materialized H (sim/link.py fast path)
+            # mirror the sim fast path: Dirichlet mean-channel precoder +
+            # precoder folded into the CIR (effective_channel_matrix) — the
+            # full H and the precoded grid never materialize
             F = sim.pdsch.precoder_from_mean(chan.mean_channel(state, 0))
-            txGrid = precode(grid, F)
-            rxGrid0 = apply_channel_freq(txGrid, H)
+            Heff = chan.effective_channel_matrix(state, 0, F)
+            rxGrid0 = apply_channel_freq(grid, Heff)
             x = rxGrid0.reshape(-1)
             sigma = jnp.sqrt(jnp.var(x) / snr)
             rxGrid = rxGrid0 + PRNG.awgn_from_key(
