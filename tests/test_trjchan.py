@@ -7,6 +7,8 @@ timing at 1e-9 and bit-identical walks+interpolation against fixtures from
 the dev scripts tools/dev/cmp_trjchan.py, cmp_deepmimo.py drive the same
 comparisons against the live reference).
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -214,19 +216,51 @@ def test_interactive_traj_points_headless(channel):
         dm.interactiveTrjPoints(mapType="bogus")
 
 
-def test_td_multislot_sim_with_trajectory(channel):
+def test_td_multislot_sim_with_trajectory():
     """Regression: TrjChannel once re-declared apply_to_signal without the
     base symMapSlot kwarg, so any domain='time' multislot/HARQ sim raised
     TypeError at trace time (sim/link.py td_channel_rx passes symMapSlot=r).
+
+    Runs in a SUBPROCESS: compiling this program after the ~230 compiles of
+    a full-suite run segfaults XLA:CPU inside backend_compile_and_load
+    (reproduced twice at exactly this test on 2026-08-21; passes in any
+    fresh process, including with the whole test file before it). Process
+    isolation keeps the regression coverage without tripping the compiler
+    bug.
     """
-    from neoradium_tpu.sim.link import PdschLinkSim
-    car, traj, ch = channel
-    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="QPSK"),
-                       domain="time", channelModel=ch, decoderIter=3)
-    fn = jax.jit(sim.make_multislot_fn(2))
-    out = fn(jax.random.PRNGKey(0), jnp.float32(30.0))
-    assert int(out["blocks"]) > 0
-    assert int(out["bitErrors"]) >= 0
+    import subprocess
+    import sys
+    script = """
+import sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from test_trjchan import synth_points
+from neoradium_tpu.carrier import CarrierConfig
+from neoradium_tpu.channels.antenna import AntennaPanel
+from neoradium_tpu.channels.trajectory import Trajectory
+from neoradium_tpu.channels.trjchan import TrjChannel
+from neoradium_tpu.sim.link import PdschLinkSim
+car = CarrierConfig(numRbs=6, spacing=30)
+traj = Trajectory(synth_points(6, 5, True, car.slotLen(0)), 3.5e9)
+ch = TrjChannel(car, traj,
+                txAntenna=AntennaPanel((2, 1), polarization="x"),
+                rxAntenna=AntennaPanel((1, 1), polarization="x"))
+sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="QPSK"),
+                   domain="time", channelModel=ch, decoderIter=3)
+out = jax.jit(sim.make_multislot_fn(2))(jax.random.PRNGKey(0),
+                                        jnp.float32(30.0))
+assert int(out["blocks"]) > 0
+assert int(out["bitErrors"]) >= 0
+print("OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           tests=os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
 
 
 # ======================================================================
