@@ -138,10 +138,10 @@ def main():
         run_inner(int(sys.argv[2]))
         return
 
-    # batch sweep on v5e (2026-08, post layer-pruning/mean-channel): 768 ->
-    # 7474, 1024 -> 7367, 1536 -> 7820, 2048 -> 7842 slots/s. 1536 is the
-    # throughput knee but only compiles inside the driver budget when the
-    # committed cache is warm; 768 fits even cold (-4%).
+    # batch sweep on v5e (2026-08-21, post round-4 channel rework): 1536 ->
+    # 11650, 2048 -> 11713, 3072 -> 11574 slots/s — flat above 1536, which
+    # keeps the fastest compile. 1536 is the default when the committed
+    # cache is warm; 768 fits the driver budget even fully cold.
     #
     # The tunnel hangs RANDOMLY on ~half of process starts (measured
     # 2026-08-21: same warm-cache run 23s / >200s / 45s / >300s), so the
