@@ -8,7 +8,7 @@ import time
 
 sys.path.insert(0, ".")
 
-STAGES = ["tx", "state", "gains", "H", "F", "apply", "noise"]
+STAGES = ["tx", "state", "cirs", "Heff", "apply", "noise"]
 
 
 def main():
@@ -56,18 +56,15 @@ def main():
             if cut == 1:
                 return csum(grid) + sum(csum(l) for l in
                                         jax.tree_util.tree_leaves(state))
-            g = chan.slot_gains(state, 0)
+            c = chan.slot_cirs(state, 0)
             if cut == 2:
-                return csum(grid) + csum(g)
-            H = chan.channel_matrix(state, 0)
+                return csum(grid) + csum(c)
+            F = sim.pdsch.precoder_from_mean(chan.mean_channel(state, 0))
+            Heff = chan.effective_channel_matrix(state, 0, F)
             if cut == 3:
-                return csum(grid) + csum(H)
-            F = sim.pdsch.precoding_matrix_traced(H)
+                return csum(grid) + csum(Heff)
+            rxGrid0 = apply_channel_freq(grid, Heff)
             if cut == 4:
-                return csum(grid) + csum(H) + csum(F)
-            txGrid = precode(grid, F)
-            rxGrid0 = apply_channel_freq(txGrid, H)
-            if cut == 5:
                 return csum(rxGrid0)
             x = rxGrid0.reshape(-1)
             sigma = jnp.sqrt(jnp.var(x) / snr)
