@@ -21,3 +21,20 @@ def pytest_configure(config):
         "markers",
         "slow: multi-minute Monte-Carlo suites (BLER parity, HARQ anchor, "
         "link e2e); deselect with -m 'not slow' for the quick tier")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_per_module():
+    """XLA:CPU in this jax build (0.9.0) segfaults inside
+    backend_compile_and_load after a few hundred in-process compilations
+    (reproduced twice on 2026-08-21 at ~85% of the full suite — at a
+    DIFFERENT test each time once one was isolated, i.e. it tracks the
+    accumulated compile count, not any specific program). Dropping the jit
+    caches at each module boundary keeps the live-executable population
+    bounded; module-scoped fixtures die with their module, so nothing
+    recompiles within a module."""
+    yield
+    jax.clear_caches()
