@@ -473,6 +473,34 @@ class LdpcDecoder:
             parts.append(jnp.zeros(buf.shape[:-1] + (tailLen,), buf.dtype))
         return jnp.concatenate(parts, axis=-1), buf
 
+    def _quantize_int8(self, recovered: jnp.ndarray) -> jnp.ndarray:
+        """Per-codeword 7-bit quantization of the recovered LLRs.
+
+        scale = 126 / max|LLR| over the non-filler positions (the filler
+        positions carry LARGE_LLR and map straight to +127, the saturation
+        value). Layered min-sum is scale-invariant, so the per-codeword
+        scale costs nothing statistically; 7-bit LLRs exceed the 4-6 bit
+        quantization of hardware LDPC decoders. The int8 decoder
+        (decode(..., dtype='int8')) stores beliefs/messages as int8 (half
+        the bf16 HBM traffic of the decode stage), computes in int16,
+        saturates beliefs at +-127 and truncates the 0.75 normalization
+        toward zero ((3*m)>>2) — identical across the soa and dense impls.
+        BLER impact is gated statistically like bf16
+        (tests/test_ldpc.py::test_int8_decode_bler_matches_f32)."""
+        c = self.cfg
+        # recovered is the PUNCTURED codeword (no leading 2*Zc), so the
+        # filler block sits at sysLenNoFill, not at fillerRange's
+        # K-coordinates
+        s, f = c.sysLenNoFill, c.numFillerBits
+        mask = np.ones(c.nz, bool)
+        mask[s:s + f] = False
+        rec = recovered.astype(jnp.float32)
+        amax = jnp.max(jnp.where(jnp.asarray(mask), jnp.abs(rec), 0.0),
+                       axis=-1, keepdims=True)
+        q = jnp.clip(jnp.round(rec * (31.0 / jnp.maximum(amax, 1e-30))),
+                     -127, 127).astype(jnp.int8)
+        return jnp.where(jnp.asarray(mask), q, jnp.asarray(127, jnp.int8))
+
     def decode(self, recovered: jnp.ndarray, numIter: int = 5,
                onlyInfoBits: bool = True, outputBelief: bool = False,
                impl: str = "auto", dtype=jnp.float32, activeRvs=None):
@@ -512,19 +540,24 @@ class LdpcDecoder:
             impl = "dense" if jax.default_backend() == "cpu" else "soa"
         active = self.cfg.active_rows(
             tuple(activeRvs) if activeRvs is not None else None)
+        isInt8 = jnp.dtype(dtype) == jnp.int8
         if impl == "dense":
             return self._decode_dense(recovered, numIter, onlyInfoBits,
                                       outputBelief, dtype, active)
         c = self.cfg
         z = c.liftingSize
         lead = recovered.shape[:-1]
-        rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
+        if isInt8:
+            rx = self._quantize_int8(recovered).astype(jnp.int16)
+        else:
+            rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
         r_full = jnp.concatenate(
-            [jnp.zeros(lead + (2 * z,), dtype), rx], axis=-1)
+            [jnp.zeros(lead + (2 * z,), rx.dtype), rx], axis=-1)
         rcols = tuple(r_full[..., ci * z:(ci + 1) * z] for ci in range(c.numCols))
         layers = [self._layers[i] for i in active]
-        lls = tuple(tuple(jnp.zeros(lead + (z,), dtype) for _ in cols)
-                    for cols, _ in layers)
+        lls = tuple(tuple(jnp.zeros(lead + (z,),
+                                    jnp.int8 if isInt8 else rx.dtype)
+                          for _ in cols) for cols, _ in layers)
 
         def one_iteration(_, carry):
             rcols, lls = carry
@@ -532,16 +565,29 @@ class LdpcDecoder:
             for li, (cols, shifts) in enumerate(layers):
                 q = len(cols)
                 ll = lls[li]
-                sub = [jnp.roll(rcols[ci], -s, axis=-1) - ll[j]
-                       for j, (ci, s) in enumerate(zip(cols, shifts))]
-                one = jnp.ones((), rx.dtype)
+                if isInt8:
+                    # int8 MESSAGE storage / int16 beliefs+arithmetic:
+                    # messages truncate 0.75*min toward zero and clip at
+                    # +-127; beliefs keep full int16 range (bounded by
+                    # channel + degree*127 < 2^11, so no saturation
+                    # oscillation) — see _quantize_int8 for the licensing
+                    sub = [jnp.roll(rcols[ci], -s, axis=-1)
+                           - ll[j].astype(jnp.int16)
+                           for j, (ci, s) in enumerate(zip(cols, shifts))]
+                    one = jnp.ones((), jnp.int16)
+                    inf = jnp.asarray(32767, jnp.int16)
+                else:
+                    sub = [jnp.roll(rcols[ci], -s, axis=-1) - ll[j]
+                           for j, (ci, s) in enumerate(zip(cols, shifts))]
+                    one = jnp.ones((), rx.dtype)
+                    inf = jnp.asarray(jnp.inf, rx.dtype)
                 sign = [jnp.where(s_ < 0, -one, one) for s_ in sub]
                 mag = [jnp.abs(s_) for s_ in sub]
                 parity = sign[0]
                 for s_ in sign[1:]:
                     parity = parity * s_
                 # running (min1, min2, first-argmin) over the layer's columns
-                min1, min2 = mag[0], jnp.full_like(mag[0], jnp.inf)
+                min1, min2 = mag[0], jnp.full_like(mag[0], inf)
                 amin = jnp.zeros_like(mag[0], jnp.int32)
                 for j in range(1, q):
                     m = mag[j]
@@ -552,9 +598,15 @@ class LdpcDecoder:
                 newll = []
                 for j, (ci, s) in enumerate(zip(cols, shifts)):
                     mins = jnp.where(amin == j, min2, min1)
-                    nl = mins * sign[j] * parity * 0.75
-                    rcols[ci] = jnp.roll(sub[j] + nl, s, axis=-1)
-                    newll.append(nl)
+                    if isInt8:
+                        nl = jnp.minimum((mins * 3) >> 2, jnp.asarray(127, jnp.int16)) \
+                            * sign[j] * parity
+                        rcols[ci] = jnp.roll(sub[j] + nl, s, axis=-1)
+                        newll.append(nl.astype(jnp.int8))
+                    else:
+                        nl = mins * sign[j] * parity * 0.75
+                        rcols[ci] = jnp.roll(sub[j] + nl, s, axis=-1)
+                        newll.append(nl)
                 lls[li] = tuple(newll)
             return tuple(rcols), tuple(lls)
 
@@ -571,18 +623,22 @@ class LdpcDecoder:
         """Gather/scatter formulation of decode (cheap to compile on CPU)."""
         c = self.cfg
         z = c.liftingSize
+        isInt8 = jnp.dtype(dtype) == jnp.int8
         layers = [self._layers[i] for i in (
             active if active is not None else range(c.numParityRows))]
         lead = recovered.shape[:-1]
-        rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
+        if isInt8:
+            rx = self._quantize_int8(recovered).astype(jnp.int16)
+        else:
+            rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
         r = jnp.concatenate(
-            [jnp.zeros(lead + (2 * z,), dtype), rx], axis=-1
+            [jnp.zeros(lead + (2 * z,), rx.dtype), rx], axis=-1
         ).reshape(lead + (c.numCols, z))
         offs, off = [], 0
         for cols, _ in layers:
             offs.append(off)
             off += len(cols)
-        ll = jnp.zeros(lead + (off, z), dtype)
+        ll = jnp.zeros(lead + (off, z), jnp.int8 if isInt8 else rx.dtype)
 
         def one_iteration(_, carry):
             r, ll = carry
@@ -590,26 +646,43 @@ class LdpcDecoder:
                 ci, fwd = _gather_info(self, cols, shifts)
                 bwd = (np.arange(z)[None, :] - np.asarray(shifts)[:, None]) % z
                 sl = slice(lo, lo + len(cols))
-                r_sub = r[..., ci, :] - ll[..., sl, :]
+                if isInt8:
+                    r_sub = r[..., ci, :] - ll[..., sl, :].astype(jnp.int16)
+                else:
+                    r_sub = r[..., ci, :] - ll[..., sl, :]
                 shifted = jnp.take_along_axis(
                     r_sub, jnp.broadcast_to(fwd, r_sub.shape), axis=-1)
                 # branches must be typed: two weak Python floats give f64
                 # under x64, poisoning the .at[].set scatters below
                 one = jnp.ones((), shifted.dtype)
                 sign = jnp.where(shifted < 0, -one, one)
-                parity = jnp.prod(sign, axis=-2, keepdims=True)
+                parity = jnp.prod(sign, axis=-2, keepdims=True,
+                                  dtype=sign.dtype)
                 mag = jnp.abs(shifted)
                 min1 = jnp.min(mag, axis=-2, keepdims=True)
                 amin = jnp.argmin(mag, axis=-2, keepdims=True)
                 iot = jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2)
-                min2 = jnp.min(jnp.where(iot == amin, jnp.inf, mag),
+                big = (jnp.asarray(32767, jnp.int16) if isInt8
+                       else jnp.asarray(jnp.inf, mag.dtype))
+                min2 = jnp.min(jnp.where(iot == amin, big, mag),
                                axis=-2, keepdims=True)
                 mins = jnp.where(iot == amin, min2, min1)
-                new_ll = mins * sign * parity
-                new_ll = jnp.take_along_axis(
-                    new_ll, jnp.broadcast_to(bwd, new_ll.shape), axis=-1) * 0.75
-                ll = ll.at[..., sl, :].set(new_ll)
-                r = r.at[..., ci, :].set(r_sub + new_ll)
+                if isInt8:
+                    # same int semantics as the soa path: message magnitude
+                    # truncates 0.75*min toward zero and clips at 127;
+                    # beliefs saturate at +-127
+                    nlMag = jnp.minimum((mins * 3) >> 2, jnp.asarray(127, jnp.int16))
+                    new_ll = jnp.take_along_axis(
+                        nlMag * sign * parity,
+                        jnp.broadcast_to(bwd, mag.shape), axis=-1)
+                    ll = ll.at[..., sl, :].set(new_ll.astype(jnp.int8))
+                    r = r.at[..., ci, :].set(r_sub + new_ll)
+                else:
+                    new_ll = mins * sign * parity
+                    new_ll = jnp.take_along_axis(
+                        new_ll, jnp.broadcast_to(bwd, new_ll.shape), axis=-1) * 0.75
+                    ll = ll.at[..., sl, :].set(new_ll)
+                    r = r.at[..., ci, :].set(r_sub + new_ll)
             return r, ll
 
         r, ll = jax.lax.fori_loop(0, numIter, one_iteration, (r, ll))

@@ -69,6 +69,8 @@ class PdschLinkSim:
         import jax.numpy as _jnp
         self.decoderDtype = (_jnp.float32 if decoderDtype is None
                              else _jnp.dtype(decoderDtype))
+        self._llrDtype = (_jnp.bfloat16 if self.decoderDtype == _jnp.int8
+                          else self.decoderDtype)
         self.windowing = windowing
         self.channelModel = channelModel
         self.chEst = chEst
@@ -218,8 +220,10 @@ class PdschLinkSim:
             # cast at the demod boundary so XLA fuses it into the LLR
             # producer and rate recovery's pads/sums also run in the reduced
             # dtype — the float32 LLR tensor (~190 MB at batch 768) never
-            # touches HBM
-            llrs = [l.astype(self.decoderDtype) for l in llrs]
+            # touches HBM. decoderDtype='int8' quantizes INSIDE decode
+            # (per-codeword scale, LdpcDecoder._quantize_int8), so its
+            # boundary/rate-recovery dtype is bfloat16.
+            llrs = [l.astype(self._llrDtype) for l in llrs]
         bitErr = jnp.zeros((), jnp.int32)
         blkErr = jnp.zeros((), jnp.int32)
         cbErr = jnp.zeros((), jnp.int32)
@@ -373,7 +377,7 @@ class PdschLinkSim:
                 eqGrid, llrScales = mmse_equalize(rxGrid, hEff, noiseVar)
                 llrs = plan.extract_llrs(eqGrid, llrScales, noiseVar)
                 if self.decoderDtype != jnp.float32:
-                    llrs = [l.astype(self.decoderDtype) for l in llrs]
+                    llrs = [l.astype(self._llrDtype) for l in llrs]
                 bitErr = jnp.zeros((), jnp.int32)
                 blkErr = jnp.zeros((), jnp.int32)
                 for q in range(numCW):

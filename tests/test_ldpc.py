@@ -182,6 +182,42 @@ def test_bf16_decode_matches_f32_outcomes():
             assert bool(jnp.all(okF)) and bool(jnp.all(okB))
 
 
+def test_int8_decode_impls_agree_and_track_f32():
+    """Fixed-point decode (dtype='int8': 5-bit per-codeword-scaled channel
+    LLRs, int8 messages, int16 beliefs, truncated 0.75 normalization — a
+    hardware-decoder-realistic mode the reference lacks): the soa and dense
+    impls are bit-identical, and block outcomes track float32 min-sum well
+    above / in the waterfall. (Not the bench path: measured 9931 vs 11650
+    slots/s for bf16 on v5e at batch 1536 — int16 VPU arithmetic and the
+    int8<->int16 casts cost more than the halved message storage saves.)"""
+    import jax
+    cfg = LdpcConfig(320, baseGraphNo=2, modulation="QPSK", txLayers=1,
+                     targetRate=308 / 1024)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    key = jax.random.PRNGKey(9)
+    kBits, kNoise = jax.random.split(key)
+    B = 24
+    payload = jax.random.bernoulli(kBits, 0.5, (B, 320)).astype(jnp.int8)
+    tx = 1.0 - 2.0 * jax.vmap(enc.encode_tb)(payload).astype(jnp.float32)
+    for snrDb, minAgree in ((6.0, 1.0), (1.0, 0.85)):
+        sigma = float(10 ** (-snrDb / 20))
+        noisy = tx + sigma * jax.random.normal(kNoise, tx.shape)
+        llrs = 2.0 * noisy / sigma ** 2
+        rec = jax.vmap(lambda v: dec.recover_rate(v)[0])(llrs)
+        dS = jax.vmap(lambda r: dec.decode(r, 6, impl="soa",
+                                           dtype=jnp.int8))(rec)
+        dD = jax.vmap(lambda r: dec.decode(r, 6, impl="dense",
+                                           dtype=jnp.int8))(rec)
+        assert jnp.array_equal(dS, dD)
+        okI = jax.vmap(lambda v: dec.decode_tb(
+            v, numIter=6, dtype=jnp.int8)[1])(llrs)
+        okF = jax.vmap(lambda v: dec.decode_tb(v, numIter=6)[1])(llrs)
+        agree = float(jnp.mean((okI == okF).astype(jnp.float32)))
+        assert agree >= minAgree, (snrDb, agree)
+        if snrDb >= 6.0:
+            assert bool(jnp.all(okI))
+
+
 @pytest.mark.slow
 def test_bf16_decode_bler_matches_f32():
     """bf16 message passing leaves the BLER statistically indistinguishable
