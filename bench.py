@@ -111,15 +111,19 @@ def measure(batch):
     # Sustained throughput: enqueue `pipeline` async dispatches back-to-back
     # and sync once, so the ~25 ms axon-tunnel round-trip amortizes across
     # the batch instead of taxing every rep. min over outer reps is robust
-    # to tunnel latency jitter.
-    pipeline, reps, times = 4, 4, []
+    # to tunnel latency jitter: r4 showed a single 4x4 window can still
+    # land 9% low on a jittery tunnel, so use 6 pipelined dispatches x 6
+    # reps (~5 s of measurement at batch 1536 — well inside the warm fuse)
+    # and discard the first rep, which pays any residual tunnel/allocator
+    # warmup.
+    pipeline, reps, times = 6, 6, []
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = [point_fn(keys, snr) for _ in range(pipeline)]
         for o in outs:
             float(o["bitErrors"].sum())   # force full execution + host sync
         times.append(time.perf_counter() - t0)
-    return pipeline * batch / min(times)
+    return pipeline * batch / min(times[1:])
 
 
 def run_inner(batch):
@@ -151,8 +155,12 @@ def main():
     # measured cold at 768, and the axon server caches compiles
     # server-side, so even a killed cold attempt's work isn't lost).
     if len(sys.argv) > 1:
-        attempts = [(int(sys.argv[1]), None)]
-    elif cache_is_warm():
+        # Explicit-batch manual run: no watchdog, no budget — a cold compile
+        # at a non-default batch can exceed NR_BENCH_BUDGET_S (3m46s measured
+        # at 1536) and a deliberate run should complete, not report 0.0.
+        run_inner(int(sys.argv[1]))
+        return
+    if cache_is_warm():
         attempts = [(1536, 60), (1536, 60), (768, 60), (768, None)]
     else:
         attempts = [(768, 105), (768, None)]

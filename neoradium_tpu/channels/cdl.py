@@ -345,12 +345,21 @@ class CdlChannel(ChannelBase):
             # complex multiplies, instead of a (len(t), n*m) exp (~10 ms of
             # the headline dispatch at batch 1536). Drift after <=14
             # multiplies is ~len(t)*eps, far inside every gate.
-            t = np.asarray(tSamples, np.float64) / self.sampleRate
-            steps = {dt: jnp.exp(2j * jnp.pi * dt * dot)
-                     for dt in sorted(set(np.diff(t)))}
-            rows = [jnp.exp(2j * jnp.pi * t[0] * dot)]
-            for dt in np.diff(t):
-                rows.append(rows[-1] * steps[dt])
+            # key the step-phasor dict on INTEGER sample spacings (dividing
+            # by sampleRate first can split equal spacings by one ulp and
+            # silently mint extra exp terms)
+            tArr = np.asarray(tSamples)
+            if not np.issubdtype(tArr.dtype, np.integer):
+                if not np.all(tArr == np.round(tArr)):
+                    raise ValueError("host-path gain times must be integer "
+                                     "sample indices")
+            tInt = tArr.astype(np.int64)
+            dInt = np.diff(tInt)
+            steps = {ds: jnp.exp(2j * jnp.pi * (ds / self.sampleRate) * dot)
+                     for ds in sorted(set(dInt.tolist()))}
+            rows = [jnp.exp(2j * jnp.pi * (tInt[0] / self.sampleRate) * dot)]
+            for ds in dInt.tolist():
+                rows.append(rows[-1] * steps[ds])
             return jnp.stack(rows)
         t = jnp.asarray(tSamples) / self.sampleRate
         return jnp.exp(2j * jnp.pi * t.reshape((-1,) + (1,) * dot.ndim) * dot)

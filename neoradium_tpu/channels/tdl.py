@@ -170,7 +170,11 @@ class TdlChannel(ChannelBase):
         self.numPaths = len(self.pathDelays)
 
         self.mimoCorrelation = kwargs.get("mimoCorrelation", "Low")
-        if self.mimoCorrelation not in ("Low", "Medium", "MediumA", "MediumB", "High"):
+        # Deviation: the reference accepts 'MediumB' at construction
+        # (tdl.py:922-924) but has no alpha/beta/gamma table entry for it
+        # (tdl.py:633) so it asserts later inside
+        # getSpatialCorrelationMatrix; we reject it eagerly instead.
+        if self.mimoCorrelation not in ("Low", "Medium", "MediumA", "High"):
             raise ValueError(f"Unsupported mimoCorrelation {self.mimoCorrelation!r}")
         self.polarization = kwargs.get("polarization", "CoPolar")
         if self.polarization not in ("CoPolar", "CrossPolar"):

@@ -474,19 +474,25 @@ class LdpcDecoder:
         return jnp.concatenate(parts, axis=-1), buf
 
     def _quantize_int8(self, recovered: jnp.ndarray) -> jnp.ndarray:
-        """Per-codeword 7-bit quantization of the recovered LLRs.
+        """Per-codeword 5-bit quantization of the recovered LLRs.
 
-        scale = 126 / max|LLR| over the non-filler positions (the filler
-        positions carry LARGE_LLR and map straight to +127, the saturation
-        value). Layered min-sum is scale-invariant, so the per-codeword
-        scale costs nothing statistically; 7-bit LLRs exceed the 4-6 bit
-        quantization of hardware LDPC decoders. The int8 decoder
-        (decode(..., dtype='int8')) stores beliefs/messages as int8 (half
-        the bf16 HBM traffic of the decode stage), computes in int16,
-        saturates beliefs at +-127 and truncates the 0.75 normalization
-        toward zero ((3*m)>>2) — identical across the soa and dense impls.
-        BLER impact is gated statistically like bf16
-        (tests/test_ldpc.py::test_int8_decode_bler_matches_f32)."""
+        scale = 31 / max|LLR| over the non-filler positions (the filler
+        positions carry LARGE_LLR and map straight to +127). The small
+        channel scale leaves headroom: beliefs accumulate in UNSATURATED
+        int16 (bounded by channel + row-degree*127), which matters more
+        than LLR resolution — a rejected earlier variant at full scale
+        126 with int8-saturated beliefs failed to decode above the
+        waterfall from saturation oscillation. Layered min-sum is
+        scale-invariant, so the per-codeword scale costs nothing
+        statistically; 5-bit LLRs match the 4-6 bit quantization of
+        hardware LDPC decoders. The int8 decoder
+        (decode(..., dtype='int8')) stores check messages as int8 (half
+        the bf16 HBM traffic), computes in int16, and truncates the 0.75
+        normalization toward zero ((3*m)>>2) — identical across the soa
+        and dense impls (tests/test_ldpc.py::
+        test_int8_decode_impls_agree_and_track_f32, a 24-block
+        agreement/tracking check; not a full statistical BLER gate like
+        the bf16 one)."""
         c = self.cfg
         # recovered is the PUNCTURED codeword (no leading 2*Zc), so the
         # filler block sits at sysLenNoFill, not at fillerRange's
@@ -670,7 +676,7 @@ class LdpcDecoder:
                 if isInt8:
                     # same int semantics as the soa path: message magnitude
                     # truncates 0.75*min toward zero and clips at 127;
-                    # beliefs saturate at +-127
+                    # beliefs accumulate in int16, unsaturated
                     nlMag = jnp.minimum((mins * 3) >> 2, jnp.asarray(127, jnp.int16))
                     new_ll = jnp.take_along_axis(
                         nlMag * sign * parity,
