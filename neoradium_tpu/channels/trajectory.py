@@ -152,6 +152,22 @@ class Trajectory:
     def goNext(self):
         self.curIdx += 1
 
+    def draw(self, ax=None):
+        """Plot the trajectory's (x, y) path; the starting point is a red
+        dot (reference trjchan.py:434-476). Requires matplotlib; returns
+        the axes. ``DeepMimoData.drawMap(overlay=traj)`` draws the same
+        path over the scenario map."""
+        import matplotlib.pyplot as plt
+        x = [p.xyz[0] for p in self.points]
+        y = [p.xyz[1] for p in self.points]
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.grid()
+        ax.scatter(x=x[0], y=y[0], c="r")
+        ax.plot(x, y)
+        ax.set_aspect("equal")
+        return ax
+
     @property
     def isPointSet(self):
         return all(p.sampleNo == 0 for p in self.points[1:])

@@ -47,6 +47,85 @@ class Waveform:
         """Drop leading samples (reference waveform.py:317-341)."""
         return Waveform(self.waveform[..., timingOffset:], self.noiseVar)
 
+    # ------------------------------------------------------------- windowing
+    def applyWindowing(self, cpLens, windowing, carrier) -> "Waveform":
+        """Overlap raised-cosine windowing of an externally supplied OFDM
+        waveform (reference waveform.py:380-470). The window length comes
+        from ``windowing``:
+
+        - ``"STD"``: TS 38.101-1/-2 F.5 table sizes per CP length, min over
+          symbols (reference getWindowingSize, waveform.py:366-377);
+        - ``"%25"``: percentage of the minimum CP length;
+        - ``"0.125"``: ratio (must contain a '.') of the minimum CP length;
+        - ``"164"``: explicit window length in samples.
+
+        ``cpLens`` is the per-symbol CP length list (samples) and ``carrier``
+        supplies nFFT/cpType (the reference's bwp argument). The waveform
+        must hold exactly the symbols described by cpLens (Ns = sum(cpLens)
+        + len(cpLens)*nFFT); length is preserved (the first window wraps
+        circularly, matching the reference's final np.roll).
+
+        ``OfdmContext.modulate(windowing=True)`` applies the same windowing
+        fused into modulation; this standalone method exists for waveforms
+        produced elsewhere. Host-computed static gather/scatter tables, one
+        device scatter-add — no per-symbol device loop."""
+        from .ofdm import _std_window_len
+
+        cpLens = [int(c) for c in cpLens]
+        nFFT = carrier.nFFT
+        windowing = str(windowing)
+        if "%" in windowing:
+            ratio = float(windowing.replace("%", "")) / 100.0
+            winLen = min(int(0.5 + ratio * c) for c in cpLens)
+        elif "." in windowing:
+            ratio = float(windowing)
+            if not 0 <= ratio <= 1:
+                raise ValueError("The windowing ratio must be between 0 and 1")
+            winLen = min(int(0.5 + ratio * c) for c in cpLens)
+        elif windowing.upper() == "STD":
+            winLen = min(_std_window_len(c, carrier.cpType) for c in cpLens)
+        else:
+            winLen = int(windowing)
+            if winLen >= min(cpLens):
+                raise ValueError("The windowing size must be smaller than CP size")
+
+        symLens = np.asarray(cpLens, np.int64) + nFFT
+        Ns = int(symLens.sum())
+        if self.waveform.shape[-1] != Ns:
+            raise ValueError(f"waveform length {self.waveform.shape[-1]} != "
+                             f"sum of symbol lengths {Ns}")
+        if winLen == 0:
+            return Waveform(self.waveform, self.noiseVar)
+        symStarts = np.concatenate([[0], np.cumsum(symLens[:-1])])
+
+        # extended symbol l, position j in [0, symLen_l + winLen): source
+        # sample (within the input waveform) and raised-cosine coefficient.
+        # j < winLen prepends the samples at symbol positions
+        # [nFFT-winLen, nFFT) — the body samples cyclically preceding the
+        # CP content — then the up-ramp hits the prepended part and the
+        # down-ramp the symbol tail; ext_l lands at symStart_l - winLen + j
+        # (circularly), which folds in the reference's final roll.
+        ramp = 0.5 * (1 - np.sin(np.pi * np.arange(winLen - 1, -winLen, -2)
+                                 / (2 * winLen)))
+        srcs, dsts, coefs = [], [], []
+        for l, sl in enumerate(map(int, symLens)):
+            j = np.arange(sl + winLen)
+            src = symStarts[l] + np.where(j < winLen, nFFT - winLen + j,
+                                          j - winLen)
+            w = np.ones(sl + winLen)
+            w[:winLen] = ramp
+            w[-winLen:] = ramp[::-1]
+            srcs.append(src)
+            dsts.append((symStarts[l] - winLen + j) % Ns)
+            coefs.append(w)
+        src = jnp.asarray(np.concatenate(srcs).astype(np.int32))
+        dst = jnp.asarray(np.concatenate(dsts).astype(np.int32))
+        coef = jnp.asarray(np.concatenate(coefs),
+                           self.waveform.real.dtype)
+        ext = self.waveform[..., src] * coef
+        out = jnp.zeros_like(self.waveform).at[..., dst].add(ext)
+        return Waveform(out, self.noiseVar)
+
     # ----------------------------------------------------------------- power
     def rePower(self, carrier) -> float:
         """Average RE power from CP-stripped FFT windows

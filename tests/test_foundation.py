@@ -207,3 +207,32 @@ def test_carrier_validation():
         car.setCurBwp(5)
     with pytest.raises(AttributeError):
         car.bogusProperty
+
+
+# ---------------------------------------------------------------- windowing
+@pytest.mark.parametrize("spacing,cp", [(30, "normal"), (60, "extended")])
+def test_standalone_apply_windowing_matches_fused(spacing, cp):
+    """Waveform.applyWindowing (reference waveform.py:380-470) on an
+    unwindowed modulate output equals modulate(windowing=True) exactly —
+    both build the same overlap raised-cosine with the STD (TS 38.101 F.5)
+    window length."""
+    from neoradium_tpu.waveform import Waveform
+
+    car = CarrierConfig(numRbs=24, spacing=spacing, cpType=cp)
+    ofdm = OfdmContext(car)
+    rng = np.random.default_rng(3)
+    L, K = car.symbolsPerSlot, car.numSubcarriers
+    grid = jnp.asarray(rng.normal(size=(2, L, K)) + 1j * rng.normal(size=(2, L, K)))
+    cpLens = [int(c) for c in ofdm.tables["cpLens"]]
+    wf = Waveform(ofdm.modulate(grid, windowing=False))
+    out = wf.applyWindowing(cpLens, "STD", car).waveform
+    assert np.array_equal(np.asarray(out),
+                          np.asarray(ofdm.modulate(grid, windowing=True)))
+    # parse paths: percentage / ratio / explicit length; oversize rejected
+    for w in ("%25", "0.125", str(min(cpLens) // 2)):
+        o = wf.applyWindowing(cpLens, w, car).waveform
+        assert o.shape == out.shape
+    with pytest.raises(ValueError):
+        wf.applyWindowing(cpLens, str(min(cpLens) + 5), car)
+    with pytest.raises(ValueError):
+        wf.applyWindowing(cpLens, "1.5", car)

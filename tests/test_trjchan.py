@@ -338,3 +338,15 @@ def test_deepmimo_random_walk_golden(deepmimo_fixture, tag, kw):
     walk = dm.getRandomGridTraj(np.array([[0, 0], [11, 7]]), 2, n,
                                 rng=rng, **kw)
     assert np.array_equal(walk, d[f"walk_{tag}"]), tag
+
+
+def test_trajectory_draw(channel):
+    """Trajectory.draw (reference trjchan.py:434-476) renders the xy path
+    with the start point marked; smoke-tested on the Agg backend."""
+    import matplotlib
+    matplotlib.use("Agg")
+    _, traj, _ = channel
+    ax = traj.draw()
+    assert len(ax.lines) == 1 and len(ax.collections) == 1
+    import matplotlib.pyplot as plt
+    plt.close("all")
