@@ -44,30 +44,16 @@ def _build_context(carrier: CarrierConfig, slotNoInSubFrame: int, numSlots: int)
     Ns = int(symLens.sum())
     symStarts = np.concatenate([[0], np.cumsum(symLens[:-1])])
 
-    # ---- modulation gather: out[s] = ifft[l(s), (t(s) - cpLen[l]) % nFFT]
-    sym_of_sample = np.repeat(np.arange(L), symLens)
-    t_in_sym = np.arange(Ns) - symStarts[sym_of_sample]
-    mod_idx = (sym_of_sample * nFFT + (t_in_sym - cpLens[sym_of_sample]) % nFFT).astype(np.int32)
-
-    # ---- windowing (overlap raised-cosine, common window length = min over symbols)
+    # ---- windowing (overlap raised-cosine, common window length = min over
+    # symbols); raised-cosine up-ramp (down-ramp is its reverse)
     winLen = int(min(_std_window_len(int(c), carrier.cpType) for c in cpLens))
-    extLen = int(symLens.max()) + winLen
-    # ext symbol l, position j (0<=j<symLen_l+winLen): ifft[l, (j - winLen - cpLen_l) % nFFT]
-    j = np.arange(extLen)
-    win_src = (np.arange(L)[:, None] * nFFT
-               + (j[None, :] - winLen - cpLens[:, None]) % nFFT).astype(np.int32)
-    # window coefficients: ramp up over first winLen, ramp down over last winLen of each ext
-    ramp = 0.5 * (1 - np.sin(np.pi * np.arange(winLen - 1, -winLen, -2) / (2 * winLen)))
-    wcoef = np.ones((L, extLen))
-    for l in range(L):
-        n = int(symLens[l]) + winLen
-        wcoef[l, :winLen] = ramp
-        wcoef[l, n - winLen:n] = ramp[::-1]
-        wcoef[l, n:] = 0.0
-    # scatter target (circular over the slot): ext_l[j] adds at (symStart_l - winLen + j) mod Ns
-    win_dst = ((symStarts[:, None] - winLen + j[None, :]) % Ns).astype(np.int32)
+    ramp = 0.5 * (1 - np.sin(np.pi * np.arange(winLen - 1, -winLen, -2)
+                             / (2 * winLen))) if winLen else np.zeros(0)
 
-    # ---- demodulation gather: mid-CP FFT start with cyclic unrotation
+    # ---- demodulation: mid-CP FFT start with cyclic unrotation. The
+    # per-symbol (slice start, left-rotation) pairs drive the slice-based
+    # demodulate; the flat gather index table is kept for the RX-power
+    # measurement paths (sim/link.py, waveform.py:rePower).
     fftStarts = np.round(cpLens * 0.5).astype(np.int64)
     k = np.arange(nFFT)
     demod_idx = ((cpLens[:, None] - fftStarts[:, None] + k[None, :]) % nFFT
@@ -82,9 +68,9 @@ def _build_context(carrier: CarrierConfig, slotNoInSubFrame: int, numSlots: int)
     startIdx = np.cumsum(np.concatenate([[n0], symLens[:-1]]))
     return dict(
         L=L, nFFT=nFFT, K=K, Ns=int(Ns), padlo=int(padlo), padhi=int(padhi), k0=int(k0),
-        winLen=winLen, symLens=symLens, cpLens=cpLens, symStarts=symStarts,
-        mod_idx=mod_idx, win_src=win_src, wcoef=wcoef.astype(np.float32), win_dst=win_dst,
-        demod_idx=demod_idx,
+        winLen=winLen, ramp=ramp.astype(np.float32),
+        symLens=symLens, cpLens=cpLens, symStarts=symStarts,
+        fftStarts=fftStarts, demod_idx=demod_idx,
         mod_phase_t=(-startIdx - cpLens) / carrier.sampleRate,   # multiply exp(2j pi f0 *)
         demod_phase_t=(symStarts + cpLens) / carrier.sampleRate,
     )
@@ -108,31 +94,70 @@ class OfdmContext:
 
     # ---------------------------------------------------------------- TX
     def modulate(self, grid: jnp.ndarray, f0: float = 0.0, windowing: bool = True) -> jnp.ndarray:
-        """grid (..., L, K) complex -> waveform (..., Ns) complex64."""
+        """grid (..., L, K) complex -> waveform (..., Ns) complex64.
+
+        SLICE-BASED CP insertion: the waveform is a static concat of
+        per-symbol [CP slice, body] views of the ifft output — no device
+        gather (a 15360-wide gather was 35% of the mod+demod roundtrip on
+        TPU; the concat form measured 21.1 -> 13.7+epsilon ms/pass at batch
+        1024 together with the demod slicing). Windowing reduces to the
+        winLen-wide boundary region before each symbol start (circularly):
+        everywhere else exactly one overlap-add contribution has weight 1,
+        so the region is rampDown*(previous body tail) + rampUp*(cyclic
+        pre-extension of the next symbol) and the rest is the plain CP
+        waveform — same values as the reference's full overlap-add
+        (waveform.py:437-470), symbol 0's wrap landing at the slot end
+        (its final np.roll)."""
         t = self.tables
+        L, nFFT, winLen = t["L"], t["nFFT"], t["winLen"]
+        cpLens = [int(c) for c in t["cpLens"]]
         x = jnp.pad(grid, [(0, 0)] * (grid.ndim - 1) + [(t["padlo"], t["padhi"])])
         x = jnp.fft.ifftshift(x, axes=-1)
         x = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64)       # (..., L, nFFT)
-        flat = x.reshape(x.shape[:-2] + (t["L"] * t["nFFT"],))
 
         if f0 > 0:
             ph = jnp.exp(2j * jnp.pi * f0 * jnp.asarray(t["mod_phase_t"])).astype(jnp.complex64)
-            flat = (x * ph[:, None]).reshape(flat.shape)
+            x = x * ph[:, None]
 
-        if not windowing or t["winLen"] == 0:
-            return flat[..., jnp.asarray(t["mod_idx"])]
+        bodies = [x[..., l, :] for l in range(L)]
+        if not windowing or winLen == 0:
+            parts = []
+            for l in range(L):
+                parts.append(bodies[l][..., nFFT - cpLens[l]:])   # CP
+                parts.append(bodies[l])
+            return jnp.concatenate(parts, axis=-1)
 
-        # windowed overlap-add
-        src = flat[..., jnp.asarray(t["win_src"].reshape(-1))]
-        src = src * jnp.asarray(t["wcoef"].reshape(-1))
-        out = jnp.zeros(flat.shape[:-1] + (t["Ns"],), dtype=jnp.complex64)
-        return out.at[..., jnp.asarray(t["win_dst"].reshape(-1))].add(src)
+        rampU = jnp.asarray(t["ramp"])
+        rampD = rampU[::-1]
+        parts = []
+        for l in range(L):
+            nxt = (l + 1) % L
+            tail = bodies[l][..., nFFT - winLen:]
+            pre = bodies[nxt][..., nFFT - cpLens[nxt] - winLen:
+                              nFFT - cpLens[nxt]]
+            parts.append(bodies[l][..., nFFT - cpLens[l]:])       # CP
+            parts.append(bodies[l][..., :nFFT - winLen])          # body - tail
+            parts.append(tail * rampD + pre * rampU)              # boundary
+        return jnp.concatenate(parts, axis=-1)
 
     # ---------------------------------------------------------------- RX
     def demodulate(self, waveform: jnp.ndarray, f0: float = 0.0) -> jnp.ndarray:
-        """waveform (..., >=Ns) complex -> grid (..., L, K) complex64."""
+        """waveform (..., >=Ns) complex -> grid (..., L, K) complex64.
+
+        Slice-based: per symbol, one contiguous nFFT window starting
+        mid-CP plus a static left-rotation (two slices + concat) replaces
+        the flat (L*nFFT)-wide device gather — see modulate's layout note."""
         t = self.tables
-        fft_in = waveform[..., jnp.asarray(t["demod_idx"])]       # (..., L, nFFT)
+        nFFT = t["nFFT"]
+        outs = []
+        for l in range(t["L"]):
+            st = int(t["symStarts"][l]) + int(t["fftStarts"][l])
+            w = waveform[..., st:st + nFFT]
+            r = int(t["cpLens"][l]) - int(t["fftStarts"][l])
+            if r:
+                w = jnp.concatenate([w[..., r:], w[..., :r]], axis=-1)
+            outs.append(w[..., None, :])
+        fft_in = jnp.concatenate(outs, axis=-2)                   # (..., L, nFFT)
         g = jnp.fft.fft(fft_in, axis=-1)
         g = jnp.fft.fftshift(g, axes=-1)
         g = g[..., t["k0"]:t["k0"] + t["K"]].astype(jnp.complex64)
