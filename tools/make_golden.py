@@ -672,6 +672,133 @@ def bler_curve_td():
     np.savez_compressed(f"{OUT}/bler_curve_td.npz", **out)
 
 
+def bler_tdl4x4():
+    """Second independent BLER-parity anchor: TDL-B 100ns 4x4 with Medium
+    Kronecker MIMO correlation, 2 layers, 64QAM, R=567/1024, perfect chEst —
+    exercises the Kronecker correlation path and the higher-order LLR chain
+    end to end (the primary anchor rides CDL-C 8x2 16QAM only). Ensemble
+    protocol as bler_curve: fresh seeded channel per slot. Rank-2 over the
+    correlated 4x4 keeps the SVD precoder's streams decodable (rank 4 is
+    permanently in outage on the weak eigenmodes at Medium correlation)."""
+    from neoradium import Carrier, PDSCH, TdlChannel
+    from neoradium import random as refrandom
+    from neoradium.ldpc import LdpcEncoder
+
+    SNRS = [18.0, 21.0, 24.0, 27.0]
+    NUM_SLOTS = 250
+    RATE = 567 / 1024
+    out = {"numSlots": np.array(NUM_SLOTS), "snrs": np.array(SNRS)}
+    errs = []
+    for snrDb in SNRS:
+        refrandom.setSeed(123)
+        carrier = Carrier(numRbs=51, spacing=30)
+        bwp = carrier.curBwp
+        pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                      nID=carrier.cellId, modulation="64QAM")
+        pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+        enc = LdpcEncoder(baseGraphNo=1, modulation="64QAM", txLayers=2,
+                          targetRate=RATE)
+        dec = enc.getDecoder()
+        cbErrors = cbTotal = tbErrors = 0
+        for slotNo in range(NUM_SLOTS):
+            channel = TdlChannel(bwp, "B", delaySpread=100, dopplerShift=5,
+                                 txAntennaCount=4, rxAntennaCount=4,
+                                 mimoCorrelation="Medium", seed=1000 + slotNo)
+            grid = pdsch.getGrid()
+            tbs = pdsch.getTxBlockSize(RATE)
+            txBlock = refrandom.bits(tbs[0])
+            numBits = pdsch.getBitSizes(grid)
+            rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
+            pdsch.populateGrid(grid, rm)
+            idx = pdsch.getReIndexes(grid, "PDSCH")
+            H = channel.getChannelMatrix()
+            F = pdsch.getPrecodingMatrix(H)
+            pre = grid.precode(F)
+            rxGrid = pre.applyChannel(H).addNoise(snrDb=snrDb,
+                                                  useRxPower=True)
+            hEst = H @ F[None, ...]
+            eqGrid, scales = rxGrid.equalize(hEst)
+            llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+            rec = dec.recoverRate(llrs[0], tbs[0])
+            decoded = dec.decode(rec, numIter=8)
+            _, crcMatch = dec.checkCrcAndMerge(decoded)
+            cbErrors += len(crcMatch) - sum(crcMatch)
+            cbTotal += len(crcMatch)
+            tbErrors += int(not all(crcMatch))
+        errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
+        print(f"  bler_tdl4x4 SNR {snrDb}: tb {tbErrors}/{NUM_SLOTS} "
+              f"cb {cbErrors}/{cbTotal}")
+    out["counts"] = np.array(errs, dtype=np.int64)
+    np.savez_compressed(f"{OUT}/bler_tdl4x4.npz", **out)
+
+
+def bler_2cw():
+    """Dual-codeword BLER-parity anchor: CDL-C 8x6, numLayers=6 (2 codewords
+    of 3 layers each), 16QAM, R=490/1024, LS estimation — exercises the
+    2-codeword TX/RX split (per-CW scrambling, layer mapping, LLR
+    extraction, LDPC chains) that no other statistical gate covers.
+    Counters are per CODEWORD (each slot contributes 2 TB trials)."""
+    from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
+    from neoradium import random as refrandom
+    from neoradium.ldpc import LdpcEncoder
+
+    SNRS = [11.0, 13.0, 15.0, 19.0]
+    NUM_SLOTS = 200
+    RATE = 490 / 1024
+    out = {"numSlots": np.array(NUM_SLOTS), "snrs": np.array(SNRS)}
+    errs = []
+    for snrDb in SNRS:
+        refrandom.setSeed(123)
+        carrier = Carrier(numRbs=51, spacing=30)
+        bwp = carrier.curBwp
+        pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=6,
+                      nID=carrier.cellId, modulation="16QAM")
+        pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+        encs = [LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=nl,
+                            targetRate=RATE) for nl in (3, 3)]
+        decs = [e.getDecoder() for e in encs]
+        cbErrors = cbTotal = tbErrors = tbTotal = 0
+        for slotNo in range(NUM_SLOTS):
+            channel = CdlChannel(
+                bwp, "C", delaySpread=300, carrierFreq=4e9,
+                dopplerShift=5, seed=1000 + slotNo,
+                txAntenna=AntennaPanel([2, 2], polarization="x"),
+                rxAntenna=AntennaPanel([1, 3], polarization="x"))
+            grid = pdsch.getGrid()
+            tbs = pdsch.getTxBlockSize(RATE)
+            numBits = pdsch.getBitSizes(grid)
+            rms = []
+            for q in range(2):
+                txBlock = refrandom.bits(tbs[q])
+                rms.append((txBlock,
+                            encs[q].getRateMatchedCodeBlocks(txBlock,
+                                                             numBits[q])))
+            pdsch.populateGrid(grid, [rm for _, rm in rms])
+            idx = pdsch.getReIndexes(grid, "PDSCH")
+            H = channel.getChannelMatrix()
+            F = pdsch.getPrecodingMatrix(H)
+            pre = grid.precode(F)
+            rxGrid = pre.applyChannel(H).addNoise(snrDb=snrDb,
+                                                  useRxPower=True)
+            hEst, _ = rxGrid.estimateChannelLS(
+                pdsch.dmrs, polarInt=False, kernel="linear")
+            eqGrid, scales = rxGrid.equalize(hEst)
+            llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+            for q in range(2):
+                rec = decs[q].recoverRate(llrs[q], tbs[q])
+                decoded = decs[q].decode(rec, numIter=8)
+                _, crcMatch = decs[q].checkCrcAndMerge(decoded)
+                cbErrors += len(crcMatch) - sum(crcMatch)
+                cbTotal += len(crcMatch)
+                tbErrors += int(not all(crcMatch))
+                tbTotal += 1
+        errs.append([tbErrors, tbTotal, cbErrors, cbTotal])
+        print(f"  bler_2cw SNR {snrDb}: tb {tbErrors}/{tbTotal} "
+              f"cb {cbErrors}/{cbTotal}")
+    out["counts"] = np.array(errs, dtype=np.int64)
+    np.savez_compressed(f"{OUT}/bler_2cw.npz", **out)
+
+
 def harq_anchor():
     """The throughput-notebook anchor: 1000-slot HARQ run, faithful replica.
 
@@ -965,6 +1092,7 @@ def matlab_golden():
 
 ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest, bler_curve_td,
                   tdl, polar, csirs, csifb, ptrs, bler_curve, bler_headline,
+                  bler_tdl4x4, bler_2cw,
                   harq_anchor,
                   trjchan, deepmimo_golden, matlab_golden]
 
