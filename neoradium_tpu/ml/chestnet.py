@@ -141,3 +141,40 @@ def predict(state: dict, x: jnp.ndarray) -> jnp.ndarray:
     return state["model"].apply(
         {"params": state["params"], "batch_stats": state["batch_stats"]},
         x, False)
+
+
+# --------------------------------------------------------- pipeline adapter
+class MlChannelEstimator:
+    """Drop-in estimator: LS estimate -> ChEstNet denoising.
+
+    Wraps an :class:`~neoradium_tpu.rx.chest.LsChannelEstimator` and a
+    trained ChEstNet state so the refined estimator plugs straight into
+    ``PdschLinkSim(chEst=MlChannelEstimator(ls, state))`` — the
+    reference's SelfRefining receiver composition
+    (Playground/Research/SelfRefining/MLChEstEvaluateBLER.ipynb), where
+    the trained network replaces the interpolated LS estimate inside the
+    end-to-end BLER/HARQ pipelines.
+
+    ``estimate`` keeps the LS estimator's contract: rxGrid (..., Nr, L, K)
+    -> (hEst (..., L, K, Nr, Np), noiseVar). Each (rx, port) subchannel
+    goes through the network as one (L, K, 2) real image; jit/vmap-safe
+    (pure flax apply in eval mode).
+    """
+
+    def __init__(self, lsEstimator, state: dict):
+        self.ls = lsEstimator
+        self.model = state["model"]
+        self.variables = {"params": state["params"],
+                          "batch_stats": state["batch_stats"]}
+
+    def estimate(self, rxGrid: jnp.ndarray):
+        hLs, nv = self.ls.estimate(rxGrid)           # (..., L, K, Nr, Np)
+        lead = hLs.shape[:-4]
+        L, K, nr, pp = hLs.shape[-4:]
+        x = hLs.reshape((-1, L, K, nr, pp))
+        x = jnp.transpose(x, (0, 3, 4, 1, 2))        # (N, Nr, Np, L, K)
+        img = jnp.stack([x.real, x.imag], axis=-1).reshape(-1, L, K, 2)
+        out = self.model.apply(self.variables, img, False)
+        h = (out[..., 0] + 1j * out[..., 1]).reshape(-1, nr, pp, L, K)
+        h = jnp.transpose(h, (0, 3, 4, 1, 2))        # (N, L, K, Nr, Np)
+        return h.reshape(lead + (L, K, nr, pp)).astype(hLs.dtype), nv

@@ -58,8 +58,14 @@ class PdschLinkSim:
                  useRxPower: bool = True, decoderDtype=None):
         if domain not in ("time", "freq"):
             raise ValueError("domain must be 'time' or 'freq'")
-        if chEst not in ("perfect", "ls"):
-            raise ValueError("chEst must be 'perfect' or 'ls'")
+        # chEst: 'perfect', 'ls', or any object with an
+        # estimate(rxGrid) -> (hEst, noiseVar) method (e.g. the ML-refined
+        # ml.chestnet.MlChannelEstimator — the reference's SelfRefining
+        # receiver composition, MLChEstEvaluateBLER.ipynb)
+        customEst = not isinstance(chEst, str)
+        if not customEst and chEst not in ("perfect", "ls"):
+            raise ValueError("chEst must be 'perfect', 'ls', or an object "
+                             "with an estimate() method")
         self.carrier = carrier
         self.domain = domain
         self.decoderIter = decoderIter
@@ -75,7 +81,7 @@ class PdschLinkSim:
         self.channelModel = channelModel
         self.chEst = chEst
         self.useRxPower = useRxPower
-        self.pdsch = PdschConfig(carrier, **(pdschKw or {}))
+        self.pdsch = PdschConfig(carrier, **(dict(pdschKw or {})))
         self.pdsch.setDMRS(**(dmrsKw or {}))
         self.plan = self.pdsch.plan(slotNo)
         self.slotNo = slotNo
@@ -83,8 +89,13 @@ class PdschLinkSim:
             numRx = channelModel.nrNt[0]
         self.numRx = numRx if numRx is not None else self.pdsch.numLayers
         self.codeRate = codeRate
-        self.estimator = (LsChannelEstimator(self.pdsch, slotNo)
-                          if (channelModel is not None and chEst == "ls") else None)
+        if customEst:
+            self.estimator = chEst
+            self.chEst = chEst = "custom"
+        else:
+            self.estimator = (LsChannelEstimator(self.pdsch, slotNo)
+                              if (channelModel is not None and chEst == "ls")
+                              else None)
 
         self.tbs = self.pdsch.getTxBlockSize(codeRate)
         self.ldpc = []
@@ -203,7 +214,7 @@ class PdschLinkSim:
 
         # RX: channel estimation + equalization
         if chan is not None:
-            if self.chEst == "ls":
+            if self.chEst in ("ls", "custom"):
                 hEff, _estNv = self.estimator.estimate(rxGrid)
             elif Heff is not None:
                 hEff = Heff                                        # (L, K, nr, nl)
@@ -368,7 +379,7 @@ class PdschLinkSim:
                     rxGrid = rxGrid0 + PRNG.awgn_from_key(
                         kNoise, rxGrid0.shape, 1.0) * sigma.astype(jnp.float32)
                     noiseVar = sigma ** 2
-                if self.chEst == "ls":
+                if self.chEst in ("ls", "custom"):
                     hEff, _ = self.estimator.estimate(rxGrid)
                 elif Heff is not None:
                     hEff = Heff

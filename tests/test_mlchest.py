@@ -41,3 +41,47 @@ def test_chestnet_trains():
     # complex <-> image round trip
     h = np.asarray(image_to_complex(jnp.asarray(x)))
     assert np.allclose(complex_to_image(h), x)
+
+
+def test_ml_estimator_plugs_into_link_sim():
+    """MlChannelEstimator satisfies PdschLinkSim's pluggable-estimator
+    contract (chEst=<object with estimate()>): identical output shapes to
+    LS, identity behavior when untrained (global residual starts at the LS
+    input), and the e2e slot runs and counts. This is the reference's
+    SelfRefining receiver composition (MLChEstEvaluateBLER.ipynb)."""
+    import neoradium_tpu as nr
+    from neoradium_tpu.ml import MlChannelEstimator
+    from neoradium_tpu.rx.chest import LsChannelEstimator
+    from neoradium_tpu.sim.link import PdschLinkSim
+
+    car = nr.CarrierConfig(numRbs=12, spacing=30)
+    chan = nr.CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
+                         dopplerShift=5,
+                         txAntenna=nr.AntennaPanel((2, 1), polarization="x"),
+                         rxAntenna=nr.AntennaPanel((1, 1), polarization="x"))
+    pdschKw = dict(numLayers=2, modulation="QPSK")
+    dmrsKw = dict(configType=2, additionalPos=2)
+    pdsch = nr.PdschConfig(car, **pdschKw)
+    pdsch.setDMRS(**dmrsKw)
+    ls = LsChannelEstimator(pdsch)
+    state = make_train_state(jax.random.PRNGKey(0),
+                             (car.symbolsPerSlot, car.numSubcarriers, 2),
+                             numEpochs=1, stepsPerEpoch=1, lr=1e-3)
+    ml = MlChannelEstimator(ls, state)
+
+    # untrained net == exact LS passthrough, same shapes
+    key = jax.random.PRNGKey(3)
+    rx = (jax.random.normal(key, (2, car.symbolsPerSlot, car.numSubcarriers))
+          + 1j * jax.random.normal(key, (2, car.symbolsPerSlot,
+                                         car.numSubcarriers))).astype(jnp.complex64)
+    hL, nvL = ls.estimate(rx)
+    hM, nvM = ml.estimate(rx)
+    assert hM.shape == hL.shape
+    assert np.allclose(np.asarray(hM), np.asarray(hL), atol=1e-5)
+    assert float(nvM) == float(nvL)
+
+    sim = PdschLinkSim(car, pdschKw=pdschKw, dmrsKw=dmrsKw,
+                       codeRate=490 / 1024, domain="freq",
+                       channelModel=chan, chEst=ml)
+    out = sim.make_trial_fn()(jax.random.PRNGKey(11), jnp.float32(20.0))
+    assert int(out["blocks"]) == 1 and int(out["bitErrors"]) >= 0
