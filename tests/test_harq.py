@@ -144,6 +144,7 @@ def test_entity_clean_channel_all_first_try():
     assert s["meanTries"] == 0.0
 
 
+@pytest.mark.slow
 def test_entity_dead_channel_timeouts():
     ent = _make_entity(numProc=2, maxTries=3)
     st, events = _run_custom_pipeline(ent, 12, noiseStd=100.0)
@@ -156,6 +157,7 @@ def test_entity_dead_channel_timeouts():
     assert s["meanTries"] == 3.0
 
 
+@pytest.mark.slow
 def test_entity_ir_combining_recovers():
     """Mid noise: some first tries fail, soft combining recovers on re-TX."""
     ent = _make_entity(numProc=1, maxTries=4)
@@ -168,6 +170,7 @@ def test_entity_ir_combining_recovers():
     pytest.fail("no retransmission successes at any mid noise level")
 
 
+@pytest.mark.slow
 def test_entity_stats_and_event_helpers():
     ent = _make_entity(numProc=2, maxTries=3)
     st, _ = _run_custom_pipeline(ent, 6, noiseStd=100.0)

@@ -182,6 +182,7 @@ def test_bf16_decode_matches_f32_outcomes():
             assert bool(jnp.all(okF)) and bool(jnp.all(okB))
 
 
+@pytest.mark.slow
 def test_int8_decode_impls_agree_and_track_f32():
     """Fixed-point decode (dtype='int8': 5-bit per-codeword-scaled channel
     LLRs, int8 messages, int16 beliefs, truncated 0.75 normalization — a
@@ -247,3 +248,47 @@ def test_bf16_decode_bler_matches_f32():
     assert 0.05 < blerF < 0.95, blerF         # really mid-waterfall
     se = np.sqrt(blerF * (1 - blerF) / n)
     assert abs(blerB - blerF) < 3 * se, (blerF, blerB, se)
+
+
+@pytest.mark.slow
+def test_int8_decode_bler_matches_f32():
+    """Fixed-point (dtype='int8') BLER gate, analogous to the bf16 one but
+    ONE-SIDED: at mid-waterfall, BLER_int8 <= BLER_f32 + 3*SE over 1152
+    blocks x 3 seeds. int8 is not statistically equivalent to f32 — it is
+    measurably BETTER here (0.39 vs 0.51 at 1.7 dB, ~8 SE): the 5-bit
+    channel quantization clips overconfident LLRs and the
+    truncation-toward-zero 0.75 normalization is slightly stronger, both
+    well-known min-sum improvements. The gate therefore bounds any
+    regression while recording the benefit; a saturation-oscillation
+    regression (the failure mode of the rejected full-scale variant — see
+    _quantize_int8) also fails the above-waterfall guard decisively: that
+    variant decoded NOTHING above the waterfall."""
+    import jax
+    cfg = LdpcConfig(1000, baseGraphNo=1, modulation="QPSK", txLayers=1,
+                     targetRate=490 / 1024)
+    enc, dec = LdpcEncoder(cfg), LdpcDecoder(cfg)
+    B, sigma = 384, float(10 ** (-1.7 / 20))  # 1.7 dB: mid-waterfall
+    nF = nI = n = 0
+    nHighSnrFail = 0
+    for seed in (11, 12, 13):
+        kBits, kNoise = jax.random.split(jax.random.PRNGKey(seed))
+        payload = jax.random.bernoulli(kBits, 0.5, (B, 1000)).astype(jnp.int8)
+        tx = 1.0 - 2.0 * jax.vmap(enc.encode_tb)(payload).astype(jnp.float32)
+        llrs = 2.0 * (tx + sigma * jax.random.normal(kNoise, tx.shape)) / sigma**2
+        okF = jax.vmap(lambda v: dec.decode_tb(v, numIter=6)[1])(llrs)
+        okI = jax.vmap(lambda v: dec.decode_tb(
+            v, numIter=6, dtype=jnp.int8)[1])(llrs)
+        nF += int(jnp.sum(~okF))
+        nI += int(jnp.sum(~okI))
+        n += B
+        # above-the-waterfall guard (the rejected variant's failure mode)
+        hi = 2.0 * (tx[:64] + 0.5 * sigma
+                    * jax.random.normal(kNoise, tx[:64].shape)) / (0.5 * sigma)**2
+        okHi = jax.vmap(lambda v: dec.decode_tb(
+            v, numIter=6, dtype=jnp.int8)[1])(hi)
+        nHighSnrFail += int(jnp.sum(~okHi))
+    blerF, blerI = nF / n, nI / n
+    assert 0.05 < blerF < 0.95, blerF
+    se = np.sqrt(blerF * (1 - blerF) / n)
+    assert blerI < blerF + 3 * se, (blerF, blerI, se)
+    assert nHighSnrFail == 0, nHighSnrFail
