@@ -59,6 +59,15 @@ def main():
     print(f"CSI-RSRP  = {rsrp['rsrpDb']:.1f} dB (cri={rsrp['cri']})")
     print(f"CSI-SINR  = {sinr['sinrDb']:.1f} dB")
 
+    # Rel-15 Type-2 codebook (functional here; the reference's is a stub):
+    # L-beam linear combining with quantized amplitudes/phases
+    rep2 = nr.CsiReport(csiCfg, n1=4, n2=1, cqiTable=2,
+                        codebookType="Type2", numBeams=2, pskSize=8)
+    r2 = rep2.computeReport(np.asarray(hEst), float(estNv))
+    i1 = r2["pmi"][0]
+    print(f"Type2     = rank {r2['rank']}, q=(i11)={i1[0]}, i12={i1[1]}, "
+          f"CQI {r2['cqi']} (Type1SP CQI above: {r['cqi']})")
+
 
 if __name__ == "__main__":
     main()

@@ -119,7 +119,8 @@ class CsiReport:
                    "SsbIdxSinr"], "quantity")
 
         self.codebookType = kwargs.get("codebookType", "Type1SP")
-        _validate(self.codebookType, ["Type1SP", "Type1MP"], "codebookType")
+        _validate(self.codebookType, ["Type1SP", "Type1MP", "Type2"],
+                  "codebookType")
 
         txAntenna = kwargs.get("txAntenna", None)
         if txAntenna is None:
@@ -142,13 +143,16 @@ class CsiReport:
                 self.n2, self.n1 = txAntenna.shape
             elif isinstance(txAntenna, AntennaArray):
                 self.ng = int(np.prod(txAntenna.shape))
-                if self.ng > 1 and self.codebookType == "Type1SP":
-                    raise ValueError("Multi-panel antenna with Type1SP codebook")
+                if self.ng > 1 and self.codebookType in ("Type1SP", "Type2"):
+                    raise ValueError(
+                        f"Multi-panel antenna with {self.codebookType} codebook")
                 self.n2, self.n1 = txAntenna.panels[0][0].shape
             else:
                 raise ValueError("Unsupported txAntenna class")
 
-        if self.codebookType == "Type1SP":
+        if self.codebookType in ("Type1SP", "Type2"):
+            # Type2 shares the single-panel N1-N2 supported set
+            # (TS 38.214 Table 5.2.2.2.3-1 mirrors 5.2.2.2.1-2)
             if f"{self.n1}-{self.n2}" not in _VALID_N1N2_SP:
                 raise ValueError(f"Invalid N1-N2 {self.n1}-{self.n2} "
                                  "(TS 38.214 Table 5.2.2.2.1-2)")
@@ -156,6 +160,22 @@ class CsiReport:
             if f"{self.ng}-{self.n1}-{self.n2}" not in _VALID_NGN1N2_MP:
                 raise ValueError(f"Invalid Ng-N1-N2 {self.ng}-{self.n1}-{self.n2}"
                                  " (TS 38.214 Table 5.2.2.2.2-1)")
+
+        if self.codebookType == "Type2":
+            # Rel-15 Type II parameters (TS 38.214 §5.2.2.2.3). The
+            # reference VALIDATES these kwargs and provides the i12
+            # combinatorial helpers but its Type2 codebook/precoder is
+            # commented out and getCodebook asserts
+            # (csifeedback.py:285-293, 563-576, 1355-1457); here Type2 is
+            # fully functional (precoder reconstruction + quantized PMI
+            # search + CQI).
+            self.numBeams = kwargs.get("numBeams", 2)
+            if 2 * self.n1 * self.n2 == 4:
+                _validate(self.numBeams, 2, "numBeams (when numPorts is 4)")
+            _validate(self.numBeams, [2, 3, 4], "numBeams")
+            self.pskSize = kwargs.get("pskSize", 4)
+            _validate(self.pskSize, [4, 8], "pskSize")
+            self.subbandAmp = bool(kwargs.get("subbandAmp", False))
 
         self.codebookMode = kwargs.get("codebookMode", 1)
         if self.ng == 4:
@@ -601,8 +621,223 @@ class CsiReport:
             cols = ws
         return np.concatenate(cols, axis=-1) / np.sqrt(numLayers)
 
+    # ------------------------------------------------------------- Type II
+    # TS 38.214 §5.2.2.2.3 (Rel-15 Type II, rank <= 2): W columns are
+    # linear combinations of numBeams (L) orthogonal DFT beams per
+    # polarization with quantized wideband amplitudes (3-bit, Table
+    # 5.2.2.2.3-2), per-subband co-phases (N_psk), and optional subband
+    # amplitudes (Table 5.2.2.2.3-3). The reference stubs all of this out
+    # (getType2Precoder commented, getCodebook asserts); here it is
+    # functional: index packing/unpacking, precoder reconstruction from
+    # the PMI, and a quantized eigen-projection PMI search (the space is
+    # far too large to enumerate as a codebook).
+    _TYPE2_P1 = np.sqrt([0.0, 1 / 64, 1 / 32, 1 / 16, 1 / 8, 1 / 4, 1 / 2, 1.0])
+    _TYPE2_P2 = np.sqrt([0.5, 1.0])
+
+    def getType2n12(self, i12):
+        """Combinatorial index i12 -> (n1[], n2[]) beam positions per the
+        TS 38.214 §5.2.2.2.3 bijection i12 = sum_i C(N1N2-1-n_i, L-i).
+        Beam flat index n = N1*n2 + n1 over the N1*N2 orthogonal set.
+
+        Deviation: the reference's helpers are broken — its getType2I12
+        (csifeedback.py:1349-1353) tuple-indexes the Python cxy list and
+        raises TypeError on any call, and its getType2n12
+        (csifeedback.py:1330-1347) reads cxy[x][y] which holds C(x, y+1)
+        per the table's own column labels, an off-by-one against the spec
+        formula. We implement the spec bijection (exhaustively verified:
+        tools/dev/cmp_type2_idx.py)."""
+        from math import comb
+        L, n1n2 = self.numBeams, self.n1 * self.n2
+        s, n1s, n2s = 0, [], []
+        for i in range(L):
+            y = L - i
+            xStar = -1
+            for x in range(y - 1, n1n2 - i):
+                if i12 - s >= comb(x, y) and x > xStar:
+                    xStar = x
+            s += comb(xStar, y)
+            n = n1n2 - 1 - xStar
+            n1s.append(n % self.n1)
+            n2s.append((n - n1s[-1]) // self.n1)
+        return np.int32(n1s), np.int32(n2s)
+
+    def getType2I12(self, n1, n2):
+        """(n1[], n2[]) beam positions -> combinatorial index i12 (inverse
+        of getType2n12; reference csifeedback.py:1349-1353). Beams must be
+        sorted by ascending flat index n = N1*n2 + n1."""
+        from math import comb
+        n1n2 = self.n1 * self.n2
+        n = self.n1 * np.asarray(n2) + np.asarray(n1)
+        return int(sum(comb(n1n2 - 1 - int(n[i]), self.numBeams - i)
+                       for i in range(self.numBeams)))
+
+    def _type2_beams(self, q1, q2, n1s, n2s):
+        """Unit-norm DFT beam matrix (N1*N2 ports per polarization, L)."""
+        cols = [self.v(self.o1 * int(x1) + q1, self.o2 * int(x2) + q2).reshape(-1)
+                for x1, x2 in zip(n1s, n2s)]
+        return np.stack(cols, axis=-1) / np.sqrt(self.n1 * self.n2)
+
+    def getType2Precoder(self, numLayers, i1, i2):
+        """Reconstruct the (numPorts, numLayers) Type II precoder from PMI
+        indices. i1 = (i11=[q1,q2], i12, i13=[per layer], i14=[per layer
+        2L wideband-amplitude indices]); i2 = per layer (phases[2L]
+        N_psk indices, k2[2L] subband-amplitude indices or None).
+        Strongest coefficient i13_l has amplitude 1, phase 0 by
+        construction. Columns unit-norm / sqrt(numLayers)."""
+        (q1, q2), i12, i13, i14 = i1
+        n1s, n2s = self.getType2n12(i12)
+        B = self._type2_beams(q1, q2, n1s, n2s)          # (N1N2, L)
+        L = self.numBeams
+        cols = []
+        for l in range(numLayers):
+            ph, k2 = i2[l]
+            p1 = self._TYPE2_P1[np.asarray(i14[l], int)]
+            p2 = (self._TYPE2_P2[np.asarray(k2, int)] if k2 is not None
+                  else np.ones(2 * L))
+            c = p1 * p2 * np.exp(2j * np.pi * np.asarray(ph) / self.pskSize)
+            w = np.concatenate([B @ c[:L], B @ c[L:]])
+            nrm = np.linalg.norm(w)
+            cols.append(w / (nrm if nrm > 0 else 1.0))
+        return np.stack(cols, axis=-1) / np.sqrt(numLayers)
+
+    def _type2_quantize(self, coef):
+        """(2L,) complex coefficients -> (i13, i14, phases, amps ratio)
+        with the strongest coefficient normalized to (1, 0deg)."""
+        s = int(np.argmax(np.abs(coef)))
+        cn = coef / coef[s] if coef[s] != 0 else coef
+        amp = np.minimum(np.abs(cn), 1.0)
+        k1 = np.argmin(np.abs(amp[:, None] - self._TYPE2_P1[None, :]), axis=1)
+        k1[s] = 7                                        # strongest: p1 = 1
+        ph = np.round(np.angle(cn) * self.pskSize / (2 * np.pi)).astype(int) \
+            % self.pskSize
+        ph[s] = 0
+        return s, k1.astype(int), ph, amp
+
+    def bestType2Pmi(self, channel, numLayers, noiseVar):
+        """Quantized Type II PMI search: same return contract as
+        bestPmiForRank — (pmi [i1, [i2 per subband]], precoders per
+        subband, per-subband RE SINRs).
+
+        Algorithm (the standard eigen-projection construction — the Type II
+        space cannot be enumerated): (1) pick the beam-group rotation
+        (q1, q2) and L orthogonal beams capturing the most wideband
+        covariance power (summed over polarizations); (2) per layer,
+        project the covariance eigenvectors onto the selected beam basis
+        and quantize (3-bit wideband amplitudes, N_psk phases); (3) per
+        PMI subband, re-project the subband eigenvectors (phase-aligned to
+        the wideband ones) and re-quantize phases (and, with
+        subbandAmp=True, the 1-bit subband amplitude of every non-strongest
+        coefficient — the spec restricts subband amplitude reporting to the
+        strongest K coefficients; reporting it for all is a superset).
+        Precoders are reconstructed FROM the quantized indices
+        (getType2Precoder), so the returned ws are exactly what a gNB
+        would rebuild from this PMI."""
+        if numLayers > 2:
+            raise ValueError("Type2 supports numLayers <= 2")
+        idxP0 = self._csirs_p0_res()
+        hAtCsiRs = np.asarray(channel)[idxP0]            # (nRE, Nr, Nt)
+        reIndexes = idxP0[1]
+        nt = hAtCsiRs.shape[-1]
+        half = nt // 2
+        L = self.numBeams
+
+        def cov(h):
+            return np.einsum("nri,nrj->ij", h.conj(), h)
+
+        def top_vecs(R, k):
+            w, v = np.linalg.eigh(R)
+            return v[:, ::-1][:, :k]                     # descending
+
+        R = cov(hAtCsiRs)
+        # ---- rotation + beam selection on the wideband covariance
+        # all N1*N2 orthogonal beams in flat-n order (n = N1*n2 + n1)
+        n1All = np.tile(np.arange(self.n1), self.n2)
+        n2All = np.repeat(np.arange(self.n2), self.n1)
+        best = None
+        for q1 in range(self.o1):
+            for q2 in range(self.o2):
+                allB = self._type2_beams(q1, q2, n1All, n2All)
+                pw = (np.einsum("pi,pq,qi->i", allB.conj(),
+                                R[:half, :half], allB)
+                      + np.einsum("pi,pq,qi->i", allB.conj(),
+                                  R[half:, half:], allB)).real
+                order = np.argsort(-pw)[:L]
+                tot = pw[order].sum()
+                if best is None or tot > best[0]:
+                    best = (tot, q1, q2, np.sort(order))
+        _, q1, q2, beamIdx = best
+        # beamIdx are flat n = N1*n2 + n1 positions (ascending)
+        n1s = (beamIdx % self.n1).astype(int)
+        n2s = (beamIdx // self.n1).astype(int)
+        i12 = self.getType2I12(n1s, n2s)
+        B = self._type2_beams(q1, q2, n1s, n2s)          # (half, L)
+
+        uWb = top_vecs(R, numLayers)
+        coefWb = [np.concatenate([B.conj().T @ uWb[:half, l],
+                                  B.conj().T @ uWb[half:, l]])
+                  for l in range(numLayers)]
+        i13, i14, phWb, ampWb = [], [], [], []
+        for l in range(numLayers):
+            s, k1, ph, amp = self._type2_quantize(coefWb[l])
+            i13.append(s)
+            i14.append(k1)
+            phWb.append(ph)
+            ampWb.append(amp)
+        i1 = ([q1, q2], i12, i13, i14)
+
+        # ---- per-subband co-phase (and optional subband amplitude)
+        if self.prgSize is None:
+            sbSize = self.subbandSizePmi if self.carrier.numRbs >= 24 else 0
+        else:
+            sbSize = self.prgSize
+        sbRanges = (list(self.subbands(sbSize)) if sbSize
+                    else [self.carrier.numRbs])
+        i2s, ws, sbSinrs = [], [], []
+        rb = 0
+        for rbsInSb in sbRanges:
+            inSb = np.where((reIndexes >= rb * 12)
+                            & (reIndexes < (rb + rbsInSb) * 12))[0]
+            if inSb.size == 0:
+                raise ValueError("Subband has no CSI-RS REs")
+            Rsb = cov(hAtCsiRs[inSb])
+            uSb = top_vecs(Rsb, numLayers)
+            i2 = []
+            for l in range(numLayers):
+                u = uSb[:, l]
+                align = uWb[:, l].conj() @ u
+                if abs(align) > 0:
+                    u = u * np.exp(-1j * np.angle(align))
+                c = np.concatenate([B.conj().T @ u[:half],
+                                    B.conj().T @ u[half:]])
+                sRef = i13[l]
+                cn = c / c[sRef] if c[sRef] != 0 else c
+                ph = np.round(np.angle(cn) * self.pskSize
+                              / (2 * np.pi)).astype(int) % self.pskSize
+                ph[sRef] = 0
+                if self.subbandAmp:
+                    ratio = np.abs(cn) / np.maximum(ampWb[l], 1e-12)
+                    k2 = np.argmin(np.abs(ratio[:, None]
+                                          - self._TYPE2_P2[None, :]), axis=1)
+                    k2[sRef] = 1
+                    i2.append((ph, k2.astype(int)))
+                else:
+                    i2.append((ph, None))
+            i2s.append(i2)
+            w = self.getType2Precoder(numLayers, i1, i2)
+            ws.append(w)
+            sbSinrs.append(np.asarray(self.compute_sinr(
+                hAtCsiRs[inSb], w[None], noiseVar))[0])
+            rb += rbsInSb
+        return [i1, i2s], ws, sbSinrs
+
     # ---------------------------------------------------------- codebook
     def getCodebook(self, numLayers):
+        if self.codebookType == "Type2":
+            raise ValueError(
+                "Type2 has no enumerable codebook (the PMI space is "
+                "combinatorial x quantized amplitudes x per-subband "
+                "phases); use bestType2Pmi / getBestRank, which search it "
+                "directly")
         key = numLayers
         if key not in self._cb_cache:
             indexes, cb = [], []
@@ -675,6 +910,8 @@ class CsiReport:
 
     def bestPmiForRank(self, channel, numLayers, noiseVar):
         """(pmi [i1, [i2 per subband]], precoders, per-subband RE SINRs)."""
+        if self.codebookType == "Type2":
+            return self.bestType2Pmi(channel, numLayers, noiseVar)
         idxP0 = self._csirs_p0_res()
         hAtCsiRs = np.asarray(channel)[idxP0]               # (numREs, Nr, Nt)
         cbIndexes, codebook = self.getCodebook(numLayers)
@@ -729,10 +966,21 @@ class CsiReport:
             raise ValueError("Channel Nt must match the configured numPorts")
         if self.codebookType == "Type1SP":
             maxRank = min(nr, nt, 8)
+        elif self.codebookType == "Type2":
+            maxRank = min(nr, 2)                 # reference csifeedback.py:523
         else:
             maxRank = min(nr, 4)
         ranks = [r for r in range(1, maxRank + 1)
                  if self.cbRiRestriction[-r] == "1"]
+        if self.codebookType == "Type2":
+            best = (-1e5, 0, None, None)
+            for rank in ranks:
+                pmi, ws, sbReSinr = self.bestType2Pmi(channel, rank, noiseVar)
+                sbSinr = np.asarray([s.mean(0) for s in sbReSinr])
+                rankSinr = (sbSinr.mean(0) * rank).sum()
+                if rankSinr > best[0]:
+                    best = (rankSinr, rank, pmi, sbReSinr)
+            return best[1], best[2], best[3]
         idxP0 = self._csirs_p0_res()
         hAtCsiRs = np.asarray(channel)[idxP0]               # (numREs, Nr, Nt)
         cbs = [(r,) + tuple(self.getCodebook(r)) for r in ranks]

@@ -189,3 +189,100 @@ def test_batched_rank_search_matches_per_rank():
                            and list(pmi[1]) == list(pmi2[1]))
     for a, b in zip(sbReSinr, sbReSinr2):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+# --------------------------------------------------------------------------
+# Type II codebook (TS 38.214 §5.2.2.2.3) — functional here, stubbed/broken
+# in the reference (getType2Precoder commented out, getCodebook asserts,
+# getType2I12 crashes on any call; see CsiReport.getType2n12 deviation note).
+# --------------------------------------------------------------------------
+def test_type2_i12_bijection():
+    """i12 <-> beam-combination ranking is the exhaustive spec bijection."""
+    from itertools import combinations
+    from math import comb
+    rep = make_report(4, 1, 8, codebookType="Type2", numBeams=2)
+    seen = set()
+    for c in combinations(range(4), 2):
+        nn = np.asarray(c)
+        i12 = rep.getType2I12(nn % 4, nn // 4)
+        assert i12 not in seen and 0 <= i12 < comb(4, 2)
+        seen.add(i12)
+        b1, b2 = rep.getType2n12(i12)
+        assert np.array_equal(np.sort(4 * b2 + b1), nn)
+
+
+def test_type2_precoder_structure():
+    """Reconstructed precoder: unit columns / sqrt(rank), exact manual
+    formula (c = p1 * exp(2pi j ph/Npsk) over 2L beam-polarization
+    coefficients, [top-pol L | bottom-pol L] against the i12 beams)."""
+    rep = make_report(4, 1, 8, codebookType="Type2", numBeams=2, pskSize=8)
+    i13 = [0, 2]
+    i14 = [[7, 4, 5, 3], [5, 3, 7, 4]]          # 2L = 4 amplitudes per layer
+    phases = [np.asarray([0, 3, 1, 6]), np.asarray([5, 0, 2, 7])]
+    i1 = ([1, 0], 3, i13, i14)
+    i2 = [(phases[0], None), (phases[1], None)]
+    w = rep.getType2Precoder(2, i1, i2)
+    assert w.shape == (8, 2)
+    assert np.allclose(np.linalg.norm(w, axis=0), 1 / np.sqrt(2))
+    n1s, n2s = rep.getType2n12(3)
+    B = rep._type2_beams(1, 0, n1s, n2s)
+    for l in range(2):
+        c = (rep._TYPE2_P1[np.asarray(i14[l])]
+             * np.exp(2j * np.pi * phases[l] / 8))
+        man = np.concatenate([B @ c[:2], B @ c[2:]])
+        man = man / np.linalg.norm(man) / np.sqrt(2)
+        assert np.allclose(w[:, l], man)
+
+
+def test_type2_search_and_report():
+    """End-to-end Type2: getBestRank + computeReport on a deterministic
+    channel; ws reconstruct exactly from the returned indices; Type2
+    rank-1 wideband SINR beats Type1SP's on the same channel (beam
+    combining >= best single beam)."""
+    import jax
+    import neoradium_tpu as nr
+    car = CarrierConfig(numRbs=24, spacing=30)
+    csi = CsiRsConfig(carrier=car, numPorts=8)
+    rep2 = CsiReport(csi, n1=4, n2=1, cqiTable=2, codebookType="Type2",
+                     numBeams=2, pskSize=8)
+    rep1 = CsiReport(csi, n1=4, n2=1, cqiTable=2)
+    chan = nr.CdlChannel(car, "B", delaySpread=100, dopplerShift=20,
+                         carrierFreq=4e9,
+                         txAntenna=nr.AntennaPanel((1, 4), polarization="x"),
+                         rxAntenna=nr.AntennaPanel((1, 2), polarization="|"))
+    H = np.asarray(chan.channel_matrix(chan.init_state(jax.random.PRNGKey(5)), 0))
+    nv = 0.01
+    rank, pmi, sbSinr = rep2.getBestRank(H, nv)
+    assert rank in (1, 2)
+    i1, i2s = pmi
+    # precoders rebuild exactly from the PMI
+    _, ws, _ = rep2.bestType2Pmi(H, rank, nv)
+    for sb, w in enumerate(ws):
+        assert np.allclose(w, rep2.getType2Precoder(rank, i1, i2s[sb]))
+    # report incl. CQI
+    r = rep2.computeReport(H, nv)
+    assert r["rank"] == rank and 1 <= r["cqi"] <= 15
+    # Type2 beam combining beats the Type1SP grid at the same rank
+    _, _, sb1 = rep1.bestPmiForRank(H, rank, nv)
+    m2 = np.concatenate([np.asarray(s).reshape(-1) for s in sbSinr]).mean()
+    m1 = np.concatenate([np.asarray(s).reshape(-1) for s in sb1]).mean()
+    assert m2 > m1, (m2, m1)
+    # subbandAmp variant runs and reports k2 indices
+    repA = CsiReport(csi, n1=4, n2=1, cqiTable=2, codebookType="Type2",
+                     numBeams=2, subbandAmp=True)
+    pmiA, wsA, _ = repA.bestType2Pmi(H, 1, nv)
+    assert pmiA[1][0][0][1] is not None
+
+
+def test_type2_validation():
+    with pytest.raises(ValueError):
+        make_report(4, 1, 8, codebookType="Type2", numBeams=5)
+    with pytest.raises(ValueError):
+        make_report(4, 1, 8, codebookType="Type2", pskSize=16)
+    with pytest.raises(ValueError):
+        make_report(2, 1, 4, codebookType="Type2", numBeams=3)  # 4 ports -> L=2
+    rep = make_report(4, 1, 8, codebookType="Type2")
+    with pytest.raises(ValueError):
+        rep.getCodebook(1)          # no enumerable Type2 codebook
+    with pytest.raises(ValueError):
+        rep.bestType2Pmi(np.zeros((14, 288, 4, 8), complex), 3, 0.1)
