@@ -443,6 +443,17 @@ class LdpcDecoder:
         and the new rv; LLRs accumulate into the same circular buffer
         (reference ldpc.py:1377-1412).
         """
+        pieces, bufs = self._recover_pieces(llrs, rv, softBuffer)
+        return (jnp.stack(pieces, axis=-2), jnp.stack(bufs, axis=-2))
+
+    def _recover_pieces(self, llrs: jnp.ndarray, rv: int = 0,
+                        softBuffer: jnp.ndarray | None = None):
+        """Rate recovery as PER-CODE-BLOCK lists: ([C x (..., nz)],
+        [C x (..., cirBuf)]) — same values as :meth:`recover_rate` without
+        the (..., C, n) stacks. The stacked form puts C=4 second-minor,
+        which XLA:TPU tile-pads 4x on ~300 MB/dispatch of intermediates at
+        the headline batch (see decode's layout note); the hot
+        decode_tb path stays on flat 2-D per-CB tensors end to end."""
         c = self.cfg
         qm, ncb = c.qm, c.cirBufSize
         k0 = c.k0(rv) % ncb
@@ -459,19 +470,23 @@ class LdpcDecoder:
             d = jnp.swapaxes(s2, -1, -2).reshape(seg.shape[:-1] + (e,))
             reps = -(-(k0 + e) // ncb)
             pad = [(0, 0)] * (d.ndim - 1) + [(k0, reps * ncb - k0 - e)]
-            bufs.append(jnp.pad(d, pad).reshape(
-                d.shape[:-1] + (reps, ncb)).sum(axis=-2))
-        buf = jnp.stack(bufs, axis=-2)                 # (..., C, cirBufSize)
-        if softBuffer is not None:
-            buf = buf + softBuffer
+            b = jnp.pad(d, pad).reshape(
+                d.shape[:-1] + (reps, ncb)).sum(axis=-2)
+            if softBuffer is not None:
+                b = b + softBuffer[..., r, :]
+            bufs.append(b)
 
         s = c.sysLenNoFill
-        filler = jnp.full(buf.shape[:-1] + (c.numFillerBits,), LARGE_LLR, buf.dtype)
         tailLen = c.nz - c.nCB
-        parts = [buf[..., :s], filler, buf[..., s:]]
-        if tailLen:  # LBRM: untransmitted tail has zero LLR
-            parts.append(jnp.zeros(buf.shape[:-1] + (tailLen,), buf.dtype))
-        return jnp.concatenate(parts, axis=-1), buf
+        pieces = []
+        for b in bufs:
+            filler = jnp.full(b.shape[:-1] + (c.numFillerBits,), LARGE_LLR,
+                              b.dtype)
+            parts = [b[..., :s], filler, b[..., s:]]
+            if tailLen:  # LBRM: untransmitted tail has zero LLR
+                parts.append(jnp.zeros(b.shape[:-1] + (tailLen,), b.dtype))
+            pieces.append(jnp.concatenate(parts, axis=-1))
+        return pieces, bufs
 
     def _quantize_int8(self, recovered: jnp.ndarray) -> jnp.ndarray:
         """Per-codeword 5-bit quantization of the recovered LLRs.
@@ -548,47 +563,62 @@ class LdpcDecoder:
         active = self.cfg.active_rows(
             tuple(activeRvs) if activeRvs is not None else None)
         if impl == "dense":
+            if isinstance(recovered, (list, tuple)):
+                recovered = jnp.stack(recovered, axis=-2)
             return self._decode_dense(recovered, numIter, onlyInfoBits,
                                       outputBelief, dtype, active)
         c = self.cfg
         z = c.liftingSize
-        lead = recovered.shape[:-1]
-        if isInt8:
-            rx = self._quantize_int8(recovered).astype(jnp.int16)
+        # ``recovered`` is (..., C, nz), a bare (nz,) vector, or a LIST of
+        # C per-code-block (..., nz) arrays (the decode_tb hot path —
+        # straight from _recover_pieces, so no (..., C, nz) tensor is ever
+        # materialized between rate recovery and decode).
+        squeezeC = False
+        if isinstance(recovered, (list, tuple)):
+            pieces = list(recovered)
+        elif recovered.ndim == 1:
+            pieces, squeezeC = [recovered], True
         else:
-            rx = jnp.clip(recovered.astype(dtype), -1e10, 1e10)
-        r_full = jnp.concatenate(
-            [jnp.zeros(lead + (2 * z,), rx.dtype), rx], axis=-1)
-        # FLAT-FOLDED layout: every lead dim folds into the Zc axis, so each
-        # per-column / per-edge array is one (N*Zc,) vector (N = prod of
-        # lead dims; under the sims' jit(vmap(decode)) the per-trial lead is
-        # the C code-block axis, giving (B, C*Zc) physical buffers). The
-        # unfolded lead+(Zc,) layout leaves C=4 as the second-minor dim and
-        # Zc=352 as the lane dim, which XLA:TPU tile-pads ~4x (sublane 4->16,
-        # lane 352->384) on every loop-carried belief/message buffer; the
-        # decode is HBM-bound on exactly those buffers. Measured at the
-        # headline shape (B=1536, C=4, Zc=352, bf16): 83.4 -> 57.4 ms/call,
-        # bit-identical (the fold is pure data movement; cyclic shifts
-        # become per-block concats through a transient (N, Zc) view).
-        N = 1
-        for d in lead:
-            N *= int(d)
-        flat = (N * z,)
-
-        def fold(x):
-            return x.reshape(flat)
+            pieces = [recovered[..., q, :] for q in range(recovered.shape[-2])]
+        C = len(pieces)
+        lead = pieces[0].shape[:-1]
+        if isInt8:
+            pieces = [self._quantize_int8(p).astype(jnp.int16) for p in pieces]
+        else:
+            pieces = [jnp.clip(p.astype(dtype), -1e10, 1e10) for p in pieces]
+        # FLAT-FOLDED layout: the code-block axis folds into the Zc axis,
+        # so each per-column / per-edge array is lead + (C*Zc,) (under the
+        # sims' jit(vmap(decode)) the per-trial lead is empty, giving
+        # (B, C*Zc) physical buffers). The unfolded lead+(C, Zc) layout
+        # leaves C=4 as the second-minor dim and Zc=352 as the lane dim,
+        # which XLA:TPU tile-pads ~4x (sublane 4->16, lane 352->384) on
+        # every loop-carried belief/message buffer; the decode is HBM-bound
+        # on exactly those buffers. Measured at the headline shape
+        # (B=1536, C=4, Zc=352, bf16): 83.4 -> 57.4 ms/call, bit-identical
+        # (the fold is pure data movement; cyclic shifts become per-block
+        # concats through a transient (C, Zc) view).
+        flat = lead + (C * z,)
+        zero = jnp.zeros(flat, pieces[0].dtype)
 
         def rollz(x, s):
             s %= z
             if s == 0:
                 return x
-            y = x.reshape((N, z))
-            return jnp.concatenate([y[:, s:], y[:, :s]], axis=-1).reshape(flat)
+            y = x.reshape(lead + (C, z))
+            return jnp.concatenate([y[..., s:], y[..., :s]],
+                                   axis=-1).reshape(flat)
 
-        rcols = tuple(fold(r_full[..., ci * z:(ci + 1) * z])
-                      for ci in range(c.numCols))
+        # column ci of every code block side by side; the first 2*Zc
+        # positions of each codeword are the punctured systematic columns
+        # (zero channel LLR)
+        rcols = tuple(
+            zero if ci < 2 else
+            jnp.concatenate([p[..., (ci - 2) * z:(ci - 1) * z]
+                             for p in pieces], axis=-1)
+            for ci in range(c.numCols))
         layers = [self._layers[i] for i in active]
-        lls = tuple(tuple(jnp.zeros(flat, jnp.int8 if isInt8 else rx.dtype)
+        lls = tuple(tuple(jnp.zeros(flat, jnp.int8 if isInt8
+                                    else pieces[0].dtype)
                           for _ in cols) for cols, _ in layers)
 
         def one_iteration(_, carry):
@@ -610,8 +640,8 @@ class LdpcDecoder:
                 else:
                     sub = [rollz(rcols[ci], s) - ll[j]
                            for j, (ci, s) in enumerate(zip(cols, shifts))]
-                    one = jnp.ones((), rx.dtype)
-                    inf = jnp.asarray(jnp.inf, rx.dtype)
+                    one = jnp.ones((), pieces[0].dtype)
+                    inf = jnp.asarray(jnp.inf, pieces[0].dtype)
                 sign = [jnp.where(s_ < 0, -one, one) for s_ in sub]
                 mag = [jnp.abs(s_) for s_ in sub]
                 parity = sign[0]
@@ -643,7 +673,9 @@ class LdpcDecoder:
 
         rcols, lls = jax.lax.fori_loop(0, numIter, one_iteration, (rcols, lls))
         beliefs = jnp.concatenate(
-            [r.reshape(lead + (z,)) for r in rcols], axis=-1)
+            [r.reshape(lead + (C, z)) for r in rcols], axis=-1)
+        if squeezeC:
+            beliefs = beliefs[..., 0, :]
         if onlyInfoBits:
             beliefs = beliefs[..., :c.codeBlockSize]
         if outputBelief:
@@ -829,8 +861,13 @@ class LdpcDecoder:
         c = self.cfg
         if activeRvs == "auto":
             activeRvs = (rv,) if softBuffer is None else None
-        rec, buf = self.recover_rate(llrs, rv, softBuffer)
-        decoded = self.decode(rec, numIter, dtype=dtype, activeRvs=activeRvs)
+        # pieces path: per-code-block tensors flow straight from rate
+        # recovery into the decoder's folded layout — the (..., C, nz)
+        # stack (tile-padded 4x on TPU for C=4) is never materialized
+        pieces, bufs = self._recover_pieces(llrs, rv, softBuffer)
+        buf = jnp.stack(bufs, axis=-2)
+        decoded = self.decode(pieces, numIter, dtype=dtype,
+                              activeRvs=activeRvs)
         merged, cbOk = self.check_crc_and_merge(decoded)
         tbOk = crc_mod.check_crc_device(merged, self._tb_crc_mat) & jnp.all(cbOk, axis=-1)
         return merged[..., :c.payloadSize], tbOk, cbOk, buf

@@ -274,6 +274,17 @@ class PdschConfig:
         channelMatrix: (L, K, Nr, Nt). Returns (Nt, Nl) wideband, or
         (K, Nt, Nl) per-subcarrier when prgSize is 2/4 (PRG precoding
         expanded, ready for ``grid.precode``).
+
+        Deviation: the reference's group loop (pdsch.py:1146-1165)
+        computes each group's precoder at the FIRST PRB of the group and
+        then discards the RBs accumulated afterwards, so its "wideband"
+        (prgSize=0) precoder is the SVD of RB 0's 12-subcarrier mean, not
+        the documented full-band average. We average the documented/
+        intended RE set. The bug is invisible at rank <= 2 (the dominant
+        singular vectors of the RB-0 mean and the full mean overlap
+        >0.97) but changes the weak columns materially at rank 5-6 — the
+        dual-codeword parity fixture is generated with the reference
+        patched to the intended behavior (tools/make_golden.py:bler_2cw).
         """
         channelMatrix = np.asarray(channelMatrix)
         K = channelMatrix.shape[1]

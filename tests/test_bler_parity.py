@@ -141,3 +141,80 @@ def test_bler_curve_parity_time_domain(chEst):
             f"TD @ {snr} dB CB-BLER: ref {cbE}/{cbN}={cbE/cbN:.3f} vs ours "
             f"{res['cbErrors'][i]}/{res['cbs'][i]}"
             f"={res['cbErrors'][i]/res['cbs'][i]:.3f} (z={zCb:.2f})")
+
+
+# --------------------------------------------------------------------------
+# Second independent anchor: TDL-B 100ns 4x4 with Medium Kronecker MIMO
+# correlation, 2 layers, 64QAM R=567/1024, perfect chEst — exercises the
+# Kronecker correlation path and the 64QAM LLR chain end to end (fixture:
+# tools/make_golden.py:bler_tdl4x4). Both sides draw their own channel
+# ensembles; the gate is the clustered two-proportion z-test as above.
+# --------------------------------------------------------------------------
+def test_bler_parity_tdl_4x4_64qam():
+    from neoradium_tpu.channels.tdl import TdlChannel
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "bler_tdl4x4.npz"))
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = TdlChannel(car, "B", delaySpread=100, dopplerShift=5,
+                      txAntennaCount=4, rxAntennaCount=4,
+                      mimoCorrelation="Medium")
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="64QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=2),
+                       codeRate=567 / 1024, domain="freq", channelModel=chan,
+                       chEst="perfect", decoderIter=8, useRxPower=True)
+    snrs = list(fx["snrs"])
+    res = run_bler_sweep(sim.make_trial_fn(), snrs, numTrials=NUM_TRIALS)
+    counts = fx["counts"]
+    cbPerTb = int(counts[0][3] // counts[0][1])
+    for i, snr in enumerate(snrs):
+        tbE, tbN, cbE, cbN = counts[i]
+        zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i])
+        zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],
+                         deff=cbPerTb)
+        assert zTb < 3.0, (
+            f"TDL4x4 @ {snr} dB TB mismatch: ref {tbE}/{tbN} vs ours "
+            f"{res['blockErrors'][i]}/{res['blocks'][i]} (z={zTb:.2f})")
+        assert zCb < 3.0, (
+            f"TDL4x4 @ {snr} dB CB mismatch: ref {cbE}/{cbN} vs ours "
+            f"{res['cbErrors'][i]}/{res['cbs'][i]} (z={zCb:.2f})")
+    bler = [e / max(n, 1) for e, n in zip(res["blockErrors"], res["blocks"])]
+    assert all(a >= b - 0.05 for a, b in zip(bler, bler[1:]))
+
+
+# --------------------------------------------------------------------------
+# Dual-codeword anchor: CDL-C 8x6, numLayers=6 (2 codewords x 3 layers),
+# 16QAM R=490/1024, LS estimation — the only statistical gate through the
+# 2-CW TX/RX split (fixture: tools/make_golden.py:bler_2cw; counters are
+# per codeword, 2 TB trials per slot on both sides).
+# --------------------------------------------------------------------------
+def test_bler_parity_dual_codeword():
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "bler_2cw.npz"))
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
+                      dopplerShift=5,
+                      txAntenna=AntennaPanel((2, 2), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 3), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=6, modulation="16QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=2),
+                       codeRate=490 / 1024, domain="freq", channelModel=chan,
+                       chEst="ls", decoderIter=8, useRxPower=True)
+    snrs = list(fx["snrs"])
+    res = run_bler_sweep(sim.make_trial_fn(), snrs, numTrials=NUM_TRIALS)
+    counts = fx["counts"]
+    # cluster unit = SLOT: the two codewords share the channel realization
+    # AND each CW's CBs share it; full design effect = CBs per slot
+    cbPerSlot = int(counts[0][3] // (counts[0][1] // 2))
+    for i, snr in enumerate(snrs):
+        tbE, tbN, cbE, cbN = counts[i]
+        # TB (codeword) errors also pair within a slot: deff = 2
+        zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i],
+                         deff=2)
+        zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],
+                         deff=cbPerSlot)
+        assert zTb < 3.0, (
+            f"2CW @ {snr} dB TB mismatch: ref {tbE}/{tbN} vs ours "
+            f"{res['blockErrors'][i]}/{res['blocks'][i]} (z={zTb:.2f})")
+        assert zCb < 3.0, (
+            f"2CW @ {snr} dB CB mismatch: ref {cbE}/{cbN} vs ours "
+            f"{res['cbErrors'][i]}/{res['cbs'][i]} (z={zCb:.2f})")

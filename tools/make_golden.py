@@ -737,10 +737,26 @@ def bler_2cw():
     of 3 layers each), 16QAM, R=490/1024, LS estimation — exercises the
     2-codeword TX/RX split (per-CW scrambling, layer mapping, LLR
     extraction, LDPC chains) that no other statistical gate covers.
-    Counters are per CODEWORD (each slot contributes 2 TB trials)."""
+    Counters are per CODEWORD (each slot contributes 2 TB trials).
+
+    The reference runs here with getPrecodingMatrix PATCHED to its own
+    documented behavior: its group loop (pdsch.py:1146-1165) emits the
+    wideband precoder from RB 0's 12-subcarrier mean and discards the
+    rest of the band — invisible at rank <= 2 (every other gate) but the
+    rank-6 weak columns differ materially, which would make this gate
+    compare precoder-bug artifacts instead of the 2-CW chain. See the
+    deviation note in neoradium_tpu/phy/pdsch.py:getPrecodingMatrix."""
     from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
     from neoradium import random as refrandom
     from neoradium.ldpc import LdpcEncoder
+
+    def fullBandWidebandPrecoder(self, channelMatrix):
+        gm = channelMatrix.mean(axis=(0, 1))
+        _, _, vH = np.linalg.svd(gm)
+        return (np.conj(vH).T)[:, :self.numLayers] / np.sqrt(self.numLayers)
+
+    origGetPrecoder = PDSCH.getPrecodingMatrix
+    PDSCH.getPrecodingMatrix = fullBandWidebandPrecoder
 
     SNRS = [11.0, 13.0, 15.0, 19.0]
     NUM_SLOTS = 200
@@ -795,6 +811,7 @@ def bler_2cw():
         errs.append([tbErrors, tbTotal, cbErrors, cbTotal])
         print(f"  bler_2cw SNR {snrDb}: tb {tbErrors}/{tbTotal} "
               f"cb {cbErrors}/{cbTotal}")
+    PDSCH.getPrecodingMatrix = origGetPrecoder
     out["counts"] = np.array(errs, dtype=np.int64)
     np.savez_compressed(f"{OUT}/bler_2cw.npz", **out)
 
