@@ -81,3 +81,24 @@ def test_adaptation_beats_fixed_mcs():
         fixed = link.run(snrs, numDrops=4, numTrials=8, seed=1, fixedMcs=mcs)
         tputF = sum(r["bitsPerSlot"] for r in fixed)
         assert tputA > 1.05 * tputF, (mcs, tputA, tputF)
+
+
+def test_adaptive_with_type2_codebook():
+    """The closed loop composes with the functional Type-2 codebook
+    (bestPmiForRank delegates to the quantized Type-2 search): the
+    beam-combining precoder reconstructs from the reported PMI and the
+    loop delivers at high SNR."""
+    car = nr.CarrierConfig(numRbs=24, spacing=30)
+    chan = nr.CdlChannel(
+        car, "B", delaySpread=100, dopplerShift=20, carrierFreq=4e9,
+        txAntenna=nr.AntennaPanel((1, 4), polarization="x"),
+        rxAntenna=nr.AntennaPanel((1, 2), polarization="|"))
+    link = AdaptivePdschLink(
+        car, chan,
+        reportKw=dict(n1=4, n2=1, cqiTable=2, codebookType="Type2",
+                      numBeams=2, pskSize=8),
+        dmrsKw=dict(configType=2, additionalPos=1), chEst="ls")
+    r = link.run_drop(3, 14.0, numTrials=4)
+    assert r["mcs"] is not None and r["bitsPerSlot"] > 0
+    i1 = r["report"]["pmi"][0]
+    assert len(i1[0]) == 2 and isinstance(i1[1], int)   # i11=[q1,q2], i12
