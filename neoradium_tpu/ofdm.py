@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .carrier import CarrierConfig
@@ -76,13 +77,95 @@ def _build_context(carrier: CarrierConfig, slotNoInSubFrame: int, numSlots: int)
     )
 
 
+@lru_cache(maxsize=16)
+def _mxu_dft_tables(nFFT: int):
+    """Split-radix DFT-as-matmul tables: nFFT = A*B with A a single
+    MXU-sized DFT stage (>=128) and B <= 8 unrolled combine planes."""
+    A = nFFT if nFFT <= 128 else max(128, nFFT // 8)
+    B = nFFT // A
+    if A * B != nFFT:
+        return None
+    FA = np.exp(-2j * np.pi * np.outer(np.arange(A), np.arange(A)) / A)
+    WN = np.exp(-2j * np.pi * np.outer(np.arange(B), np.arange(A)) / nFFT)
+    WB = np.exp(-2j * np.pi * np.outer(np.arange(B), np.arange(B)) / B)
+    return (A, B, FA.real.astype(np.float32), FA.imag.astype(np.float32),
+            WN.astype(np.complex64), WB.astype(np.complex64))
+
+
+def _mxu_fft(x: jnp.ndarray, nFFT: int, inverse: bool) -> jnp.ndarray:
+    """FFT along the last axis as MXU matmuls (TPU fast path).
+
+    Cooley-Tukey with one radix-A stage: n = B*a + b, k = A*c + d gives
+    X[A*c+d] = sum_b W_N^{bd} W_B^{bc} (DFT_A over a of x[B*a+b]) — the
+    DFT_A runs as two real (A x A) einsums on the MXU (f32,
+    precision='highest') and the B <= 8 combine terms are unrolled
+    elementwise planes. ~3e-7 relative vs the reference FFT (f32 dot
+    rounding; measured per size), NOT bit-identical — kept off the CPU
+    parity path by fftImpl='auto'.
+
+    Measured 2026-08-21 on v5e over the axon tunnel (batch 1024 x 2 x 14,
+    nFFT 1024, 8 chained passes): XLA fft 14.0 ms/pass, this path at
+    precision='highest' 17.8 ms/pass — SLOWER, because 'highest' f32
+    matmuls emulate via 6 bf16 passes. The win would come from
+    precision='high'/'default' (3/1 passes, still ~1e-5 accurate per the
+    error model), but those dot variants return backend UNIMPLEMENTED
+    over the current axon tunnel, so they cannot be validated here.
+    'auto' therefore resolves to the XLA FFT everywhere until real chips
+    allow measuring the reduced-precision variants; 'mxu' stays as the
+    opt-in experiment.
+
+    The inverse uses ifft(x) = conj(fft(conj(x)))/N.
+    """
+    t = _mxu_dft_tables(nFFT)
+    A, B, FAr, FAi, WN, WB = t
+    if inverse:
+        x = jnp.conj(x)
+    lead = x.shape[:-1]
+    xr = x.reshape(lead + (A, B))
+    re, im = jnp.real(xr), jnp.imag(xr)
+    kw = dict(precision="highest")
+    FAr, FAi = jnp.asarray(FAr), jnp.asarray(FAi)
+    Yr = (jnp.einsum("da,...ab->...db", FAr, re, **kw)
+          - jnp.einsum("da,...ab->...db", FAi, im, **kw))
+    Yi = (jnp.einsum("da,...ab->...db", FAr, im, **kw)
+          + jnp.einsum("da,...ab->...db", FAi, re, **kw))
+    Y = (Yr + 1j * Yi).astype(jnp.complex64)
+    planes = [Y[..., :, b] * jnp.asarray(WN[b]) for b in range(B)]
+    outs = []
+    for c in range(B):
+        acc = planes[0] * WB[0, c]
+        for b in range(1, B):
+            acc = acc + planes[b] * WB[b, c]
+        outs.append(acc)
+    out = jnp.stack(outs, axis=-2).reshape(lead + (nFFT,))
+    if inverse:
+        out = jnp.conj(out) / nFFT
+    return out.astype(jnp.complex64)
+
+
+def _use_mxu_fft(fftImpl: str, nFFT: int) -> bool:
+    if fftImpl == "xla":
+        return False
+    if _mxu_dft_tables(nFFT) is None:
+        return False
+    # 'auto' -> XLA everywhere for now: the only matmul precision the
+    # axon tunnel can run ('highest') measured slower than the XLA FFT;
+    # see _mxu_fft's measurement note.
+    return fftImpl == "mxu"
+
+
 @dataclass(frozen=True)
 class OfdmContext:
-    """Precomputed OFDM index tables for one slot pattern of a carrier."""
+    """Precomputed OFDM index tables for one slot pattern of a carrier.
+
+    fftImpl: 'auto' (MXU matmul-DFT on TPU, XLA FFT elsewhere — the CPU
+    parity suites stay bit-exact), 'mxu', or 'xla'.
+    """
 
     carrier: CarrierConfig
     slotNoInSubFrame: int = 0
     numSlots: int = 1
+    fftImpl: str = "auto"
 
     @property
     def tables(self):
@@ -113,7 +196,10 @@ class OfdmContext:
         cpLens = [int(c) for c in t["cpLens"]]
         x = jnp.pad(grid, [(0, 0)] * (grid.ndim - 1) + [(t["padlo"], t["padhi"])])
         x = jnp.fft.ifftshift(x, axes=-1)
-        x = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64)       # (..., L, nFFT)
+        if _use_mxu_fft(self.fftImpl, nFFT):
+            x = _mxu_fft(x.astype(jnp.complex64), nFFT, inverse=True)
+        else:
+            x = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64)   # (..., L, nFFT)
 
         if f0 > 0:
             ph = jnp.exp(2j * jnp.pi * f0 * jnp.asarray(t["mod_phase_t"])).astype(jnp.complex64)
@@ -158,7 +244,10 @@ class OfdmContext:
                 w = jnp.concatenate([w[..., r:], w[..., :r]], axis=-1)
             outs.append(w[..., None, :])
         fft_in = jnp.concatenate(outs, axis=-2)                   # (..., L, nFFT)
-        g = jnp.fft.fft(fft_in, axis=-1)
+        if _use_mxu_fft(self.fftImpl, nFFT):
+            g = _mxu_fft(fft_in.astype(jnp.complex64), nFFT, inverse=False)
+        else:
+            g = jnp.fft.fft(fft_in, axis=-1)
         g = jnp.fft.fftshift(g, axes=-1)
         g = g[..., t["k0"]:t["k0"] + t["K"]].astype(jnp.complex64)
         if f0 > 0:

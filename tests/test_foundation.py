@@ -236,3 +236,38 @@ def test_standalone_apply_windowing_matches_fused(spacing, cp):
         wf.applyWindowing(cpLens, str(min(cpLens) + 5), car)
     with pytest.raises(ValueError):
         wf.applyWindowing(cpLens, "1.5", car)
+
+
+def test_mxu_fft_matches_xla():
+    """The MXU matmul-DFT option (fftImpl='mxu') matches the XLA FFT
+    path to f32 rounding for modulate + demodulate, including windowing,
+    and round-trips the grid. 'auto' resolves to the XLA path (the only
+    axon-runnable matmul precision measured slower — _mxu_fft note), so
+    the parity suites remain bit-exact."""
+    import jax
+    from neoradium_tpu.ofdm import _mxu_fft, _use_mxu_fft
+
+    car = CarrierConfig(numRbs=51, spacing=30)
+    assert not _use_mxu_fft("auto", car.nFFT)   # auto = XLA (see _mxu_fft)
+    assert _use_mxu_fft("mxu", car.nFFT)
+    o1 = OfdmContext(car)
+    o2 = OfdmContext(car, fftImpl="mxu")
+    rng = np.random.default_rng(7)
+    L, K = car.symbolsPerSlot, car.numSubcarriers
+    g = jnp.asarray((rng.normal(size=(2, L, K))
+                     + 1j * rng.normal(size=(2, L, K))).astype(np.complex64))
+    for windowing in (False, True):
+        wx = np.asarray(o1.modulate(g, windowing=windowing))
+        wm = np.asarray(o2.modulate(g, windowing=windowing))
+        assert np.abs(wm - wx).max() / np.abs(wx).max() < 1e-5
+    r = np.asarray(o2.demodulate(o2.modulate(g, windowing=False)))
+    assert np.abs(r - np.asarray(g)).max() < 1e-4
+    # raw helper against numpy for both directions
+    x = jnp.asarray((rng.normal(size=(3, car.nFFT))
+                     + 1j * rng.normal(size=(3, car.nFFT))).astype(np.complex64))
+    f = np.asarray(_mxu_fft(x, car.nFFT, inverse=False))
+    assert np.abs(f - np.fft.fft(np.asarray(x), axis=-1)).max() \
+        / np.abs(f).max() < 1e-5
+    i = np.asarray(_mxu_fft(x, car.nFFT, inverse=True))
+    assert np.abs(i - np.fft.ifft(np.asarray(x), axis=-1)).max() \
+        / np.abs(i).max() < 1e-5
