@@ -86,12 +86,20 @@ def build_point_fn():
     # tests/test_ldpc.py::test_bf16_decode_bler_matches_f32 (|ΔBLER| < 3·SE
     # over 1152 blocks x 3 seeds); min-sum needs only magnitude order, and
     # bf16's 8-bit mantissa exceeds hardware decoders' LLR quantization.
+    #
+    # decoderIter=2 matches the REFERENCE THROUGHPUT NOTEBOOK's own decode
+    # call (PDSCH-Throughput.ipynb: harq.decodeLLRs(..., numIter=2)) — the
+    # 6.3 slots/s baseline was achieved at 2 iterations, so 2 is the
+    # apples-to-apples setting (rounds 1-4 ran 5, doing 2.5x the decode
+    # work of the baseline config). BLER parity AT numIter=2 is gated by
+    # tests/test_link_e2e.py::test_headline_iter2_bler_anchor against a
+    # reference-generated fixture at the same iteration count.
     sim = PdschLinkSim(
         car,
         pdschKw=dict(numLayers=2, modulation="16QAM"),
         dmrsKw=dict(configType=2, additionalPos=2),
         codeRate=490 / 1024, domain="freq",
-        channelModel=chan, chEst="ls", decoderIter=5,
+        channelModel=chan, chEst="ls", decoderIter=2,
         decoderDtype="bfloat16")
     return make_point_fn(sim.make_trial_fn())
 

@@ -253,3 +253,42 @@ def test_grid_sweep_matches_host_loop(awgn_sim):
                 assert got["bitErrors"][p] == ref["bitErrors"][p] == 0
             else:
                 assert abs(got["bitErrors"][p] - ref["bitErrors"][p]) <= cbBits
+
+
+def test_headline_iter2_bler_anchor():
+    """The bench configuration at the REFERENCE THROUGHPUT NOTEBOOK's own
+    decoder setting (numIter=2 — PDSCH-Throughput.ipynb decodeLLRs call,
+    the setting behind the 6.3 slots/s baseline) matches the reference's
+    float64 chain at the same iteration count: clustered z < 3 at TB and
+    CB level across the 2-iteration waterfall (fixture:
+    tools/make_golden.py:bler_headline_i2). This is the accuracy license
+    for bench.py's decoderIter=2."""
+    from neoradium_tpu.channels.antenna import AntennaPanel
+    from neoradium_tpu.channels.cdl import CdlChannel
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "bler_headline_i2.npz"))
+    car = CarrierConfig(numRbs=51, spacing=30)
+    chan = CdlChannel(car, "C", delaySpread=300, carrierFreq=4e9,
+                      dopplerShift=5,
+                      txAntenna=AntennaPanel((2, 2), polarization="x"),
+                      rxAntenna=AntennaPanel((1, 1), polarization="x"))
+    sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
+                       dmrsKw=dict(configType=2, additionalPos=2),
+                       codeRate=490 / 1024, domain="freq", channelModel=chan,
+                       chEst="ls", decoderIter=2, decoderDtype="bfloat16")
+    from test_bler_parity import two_prop_z
+    res = run_bler_sweep(sim.make_trial_fn(), list(fx["snrs"]), numTrials=128)
+    counts = fx["counts"]
+    cbPerTb = int(counts[0][3] // counts[0][1])
+    for i, snr in enumerate(fx["snrs"]):
+        tbE, tbN, cbE, cbN = counts[i]
+        zTb = two_prop_z(tbE, tbN, res["blockErrors"][i], res["blocks"][i])
+        zCb = two_prop_z(cbE, cbN, res["cbErrors"][i], res["cbs"][i],
+                         deff=cbPerTb)
+        assert zTb < 3.0, (
+            f"iter2 anchor @ {snr} dB TB-BLER: ref {tbE}/{tbN}="
+            f"{tbE/tbN:.3f} vs ours {res['blockErrors'][i]}/{res['blocks'][i]}"
+            f"={res['blockErrors'][i]/res['blocks'][i]:.3f} (z={zTb:.2f})")
+        assert zCb < 3.0, (
+            f"iter2 anchor @ {snr} dB CB-BLER: ref {cbE}/{cbN} vs ours "
+            f"{res['cbErrors'][i]}/{res['cbs'][i]} (z={zCb:.2f})")

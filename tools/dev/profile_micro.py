@@ -61,7 +61,7 @@ def main():
         car, pdschKw=dict(numLayers=2, modulation="16QAM"),
         dmrsKw=dict(configType=2, additionalPos=2),
         codeRate=490 / 1024, domain="freq",
-        channelModel=chan, chEst="ls", decoderIter=5)
+        channelModel=chan, chEst="ls", decoderIter=2)
     L, K = car.symbolsPerSlot, car.numSubcarriers
     nr, nt, nl = 2, 8, 2
     keys = jax.random.split(jax.random.PRNGKey(0), batch)

@@ -39,7 +39,7 @@ def main():
         car, pdschKw=dict(numLayers=2, modulation="16QAM"),
         dmrsKw=dict(configType=2, additionalPos=2),
         codeRate=490 / 1024, domain="freq",
-        channelModel=chan, chEst="ls", decoderIter=5,
+        channelModel=chan, chEst="ls", decoderIter=2,
         decoderDtype="bfloat16")
     plan = sim.plan
 

@@ -601,6 +601,69 @@ def bler_headline():
     np.savez_compressed(f"{OUT}/bler_headline.npz", **out)
 
 
+def bler_headline_i2():
+    """Reference counters at the headline config with decoder numIter=2 —
+    the iteration count the reference's OWN throughput notebook uses
+    (Playground/PDSCH/PDSCH-Throughput.ipynb decodeLLRs(..., numIter=2)).
+    bench.py matches it for apples-to-apples; this fixture gates the
+    full fast-path combo at that setting
+    (tests/test_link_e2e.py::test_headline_iter2_bler_anchor). SNR points
+    straddle the 2-iteration LS waterfall (~2.5 dB above the 5-iteration
+    one)."""
+    from neoradium import Carrier, PDSCH, AntennaPanel, CdlChannel
+    from neoradium import random as refrandom
+    from neoradium.ldpc import LdpcEncoder
+
+    SNRS = [15.0, 16.5, 18.0]
+    NUM_SLOTS = 300
+    out = {"numSlots": np.array(NUM_SLOTS), "snrs": np.array(SNRS)}
+    errs = []
+    for snrDb in SNRS:
+        refrandom.setSeed(123)
+        carrier = Carrier(numRbs=51, spacing=30)
+        bwp = carrier.curBwp
+        pdsch = PDSCH(bwp, interleavingBundleSize=0, numLayers=2,
+                      nID=carrier.cellId, modulation="16QAM")
+        pdsch.setDMRS(prgSize=0, configType=2, additionalPos=2)
+        enc = LdpcEncoder(baseGraphNo=1, modulation="16QAM", txLayers=2,
+                          targetRate=490 / 1024)
+        dec = enc.getDecoder()
+        cbErrors = cbTotal = tbErrors = 0
+        for slotNo in range(NUM_SLOTS):
+            channel = CdlChannel(
+                bwp, "C", delaySpread=300, carrierFreq=4e9,
+                dopplerShift=5, seed=1000 + slotNo,
+                txAntenna=AntennaPanel([2, 2], polarization="x"),
+                rxAntenna=AntennaPanel([1, 1], polarization="x"))
+            grid = pdsch.getGrid()
+            tbs = pdsch.getTxBlockSize(490 / 1024)
+            txBlock = refrandom.bits(tbs[0])
+            numBits = pdsch.getBitSizes(grid)
+            rm = enc.getRateMatchedCodeBlocks(txBlock, numBits[0])
+            pdsch.populateGrid(grid, rm)
+            idx = pdsch.getReIndexes(grid, "PDSCH")
+            H = channel.getChannelMatrix()
+            F = pdsch.getPrecodingMatrix(H)
+            pre = grid.precode(F)
+            rxGrid = pre.applyChannel(H).addNoise(snrDb=snrDb,
+                                                  useRxPower=True)
+            hEst, _ = rxGrid.estimateChannelLS(
+                pdsch.dmrs, polarInt=False, kernel="linear")
+            eqGrid, scales = rxGrid.equalize(hEst)
+            llrs = pdsch.getLLRsFromGrid(eqGrid, idx, scales)
+            rec = dec.recoverRate(llrs[0], tbs[0])
+            decoded = dec.decode(rec, numIter=2)
+            _, crcMatch = dec.checkCrcAndMerge(decoded)
+            cbErrors += len(crcMatch) - sum(crcMatch)
+            cbTotal += len(crcMatch)
+            tbErrors += int(not all(crcMatch))
+        errs.append([tbErrors, NUM_SLOTS, cbErrors, cbTotal])
+        print(f"  bler_headline_i2 SNR {snrDb}: tb {tbErrors}/{NUM_SLOTS} "
+              f"cb {cbErrors}/{cbTotal}")
+    out["counts"] = np.array(errs, dtype=np.int64)
+    np.savez_compressed(f"{OUT}/bler_headline_i2.npz", **out)
+
+
 def bler_curve_td():
     """Reference TB/CB error counters for the TIME-domain channel pipeline
     (ofdmModulate -> pad(maxDelay) -> applyToSignal -> addNoise(nFFT=) ->
@@ -1109,7 +1172,7 @@ def matlab_golden():
 
 ALL_GENERATORS = [gold_and_crc, modulation, ofdm, ldpc, pdsch, cdl, chest, bler_curve_td,
                   tdl, polar, csirs, csifb, ptrs, bler_curve, bler_headline,
-                  bler_tdl4x4, bler_2cw,
+                  bler_tdl4x4, bler_2cw, bler_headline_i2,
                   harq_anchor,
                   trjchan, deepmimo_golden, matlab_golden]
 
