@@ -22,10 +22,11 @@ one JSON line per run:
   (shows the work partitions ~1/n even where shared-core virtual devices
   can't show wall-clock speedup).
 
-Expected single-chip v5e reference point: bench.py's headline figure
-(~14290 slots/s at batch 1536, round 5); a b-device slice at >=85%
-efficiency (BASELINE.md row 6) should therefore print
->= 0.85 * 14290 * b total slots/s with --trials-per-device 1536.
+Expected single-chip v5e reference point: the sharded-grid path
+sustains 9.0-9.7k slots/s on the one tunneled chip (bench.py's direct
+pipeline: ~17.2k); a b-device slice at >=85% efficiency (BASELINE.md
+row 6) should therefore print >= 0.85 * 9000 * b total slots/s with
+--trials-per-device 1536 (see SCALING.md).
 
 NOTE (CPU runs): virtual devices SHARE physical cores, so wall-clock
 efficiency on --cpu meshes measures sharding overhead only; the GFLOPs
@@ -88,7 +89,7 @@ def main():
     sim = PdschLinkSim(car, pdschKw=dict(numLayers=2, modulation="16QAM"),
                        dmrsKw=dict(configType=2, additionalPos=2),
                        codeRate=490 / 1024, domain="freq", channelModel=chan,
-                       chEst="ls", decoderIter=5, decoderDtype="bfloat16")
+                       chEst="ls", decoderIter=2, decoderDtype="bfloat16")
     trial_fn = sim.make_trial_fn()
 
     nSnr = nS * args.snr_points_per_device
