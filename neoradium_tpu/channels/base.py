@@ -224,6 +224,16 @@ class ChannelBase:
         c = self.slot_cirs(state, slotNo)[:-1]
         return self._cir_to_freq(c, self.cir_offset(c))
 
+    def apply_to_grid(self, grid, state=None, slotNo=0):
+        """Frequency-domain channel application to a (P, L, K) grid
+        (reference ChannelModel.applyToGrid): returns the (Nr, L, K) RX
+        grid through this slot's channel matrix. Convenience composition
+        of :meth:`channel_matrix` + :func:`~neoradium_tpu.grid.
+        apply_channel_freq`; the sims' hot path uses
+        :meth:`effective_channel_matrix` instead (never materializes H)."""
+        from ..grid import apply_channel_freq
+        return apply_channel_freq(grid, self.channel_matrix(state, slotNo))
+
     def effective_channel_matrix(self, state, slotNo, F):
         """(L, K, nr, nl) post-precoding channel H @ F for a wideband
         precoder F (nt, nl), WITHOUT materializing the (L, K, nr, nt)

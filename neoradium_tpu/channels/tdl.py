@@ -225,6 +225,16 @@ class TdlChannel(ChannelBase):
                 pp[(j + nt // 2) * nr + i, (2 * j + 1) * nr + i] = 1
         return pp
 
+    def polarization_angles(self):
+        """(txPolAngles, rxPolAngles) in degrees for CrossPolar mode
+        (TS 38.101-4 §B.2.3.2; reference getPolarizationAngles,
+        tdl.py:1252-1261): gNB slants +-45, UE slants 90/0, swapped for
+        uplink."""
+        if self.polarization != "CrossPolar":
+            raise ValueError("polarization_angles requires CrossPolar mode")
+        gnb, ue = [45, -45], [90, 0]
+        return (gnb, ue) if self.txDir == "Downlink" else (ue, gnb)
+
     def spatial_correlation_matrix(self):
         """Kronecker R_spat (scalar means identity of that size)."""
         nr, nt = self.nrNt
@@ -256,7 +266,14 @@ class TdlChannel(ChannelBase):
                                  [-gamma, 0, 1, 0], [0, gamma, 0, 1]],
                                 np.float64)
             elif nu == 1:
-                gg = np.asarray([[1, -gamma], [-gamma, 1]], np.float64)
+                # Deviation: the reference's uplink nu==1 branch
+                # (tdl.py:1170-1175) builds a 2x2 Gamma whose Kronecker
+                # product can never match the nt*nr permutation matrix, so
+                # it crashes with a shape error for every such config; we
+                # reject it eagerly instead.
+                raise ValueError(
+                    "Uplink CrossPolar needs >= 4 tx antennas (2 UE "
+                    "cross-polar pairs)")
             else:
                 gg = np.asarray([[1, -gamma, 0, 0], [-gamma, 1, 0, 0],
                                  [0, 0, 1, gamma], [0, 0, gamma, 1]],

@@ -35,6 +35,11 @@ class Waveform:
     def numPorts(self):
         return self.waveform.shape[-2]
 
+    @property
+    def length(self):
+        """Samples per port (reference waveform.py ``length``)."""
+        return self.waveform.shape[-1]
+
     def __getitem__(self, idx):
         return self.waveform[idx]
 
