@@ -150,6 +150,29 @@ class CarrierConfig:
         return self.nFFT / self.symbolLensSubframe.mean()
 
 
+    # ------------------------------------------------------------- printing
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (BandwidthPart.print,
+        carrier.py)."""
+        from .utils import format_properties
+        s = format_properties(
+            title or "Bandwidth Part Properties:",
+            [("Resource Blocks", f"{self.numRbs} RBs starting at "
+              f"{self.startRb} ({self.numSubcarriers} subcarriers)"),
+             ("Subcarrier Spacing", f"{self.spacing} kHz"),
+             ("CP Type", self.cpType),
+             ("Bandwidth", f"{self.numRbs * 12 * self.spacing / 1000:g} MHz"),
+             ("symbolsPerSlot", self.symbolsPerSlot),
+             ("slotsPerSubFrame", self.slotsPerSubFrame),
+             ("nFFT", self.nFFT)], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
 class Carrier:
     """A carrier holding one or more bandwidth parts + host-side counters.
 
@@ -254,7 +277,23 @@ class Carrier:
         return HostGrid(numPorts, bwp.symbolsPerSlot, bwp.numSubcarriers,
                         useReDesc=useReDesc)
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (Carrier.print, carrier.py)."""
+        from .utils import format_properties
+        rows = [("Cell Id", self.cellId),
+                ("Bandwidth Parts", len(self.bwps)),
+                ("Active BWP", self.curBwpIndex),
+                ("frameNo", self.frameNo),
+                ("slotNo", self.slotNo)]
+        for i, bwp in enumerate(self.bwps):
+            rows.append((None, bwp.print(indent + 2,
+                                         f"Bandwidth Part {i}:",
+                                         getStr=True)))
+        s = format_properties(title or "Carrier Properties:", rows, indent)
+        if getStr:
+            return s
+        print(s)
+
     def __repr__(self):
-        return (f"Carrier(numRbs={self.numRbs}, cellId={self.cellId}, "
-                f"bwps={len(self.bwps)}, curBwpIndex={self.curBwpIndex}, "
-                f"slotNo={self.slotNo})")
+        return self.print(getStr=True)

@@ -110,6 +110,26 @@ class AntennaPanel:
                                      polAngle=pa) for pa in polAngles)
                        for c in range(cols)] for r in range(rows)]
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (AntennaPanel.print,
+        antenna.py)."""
+        import numpy as _np
+        from ..utils import format_properties
+        s = format_properties(
+            title or "Antenna Panel Properties:",
+            [("Total Elements", self.getNumElements()),
+             ("spacing", ", ".join(f"{x:g}\u03bb"
+                                   for x in _np.ravel(self.spacing))),
+             ("shape", f"{self.shape[0]} rows x {self.shape[1]} columns"),
+             ("polarization", self.polarization)], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     @property
     def numPol(self) -> int:
         return 2 if self.polarization in "+x" else 1

@@ -101,6 +101,35 @@ class ChannelBase:
             self.pathDelays, self.sampleRate, self.firs,
             self.filterLen, self.delayQuantSize)
 
+    # ------------------------------------------------------------ printing
+    def _print_rows(self):
+        """Common property rows; subclasses extend (reference
+        ChannelModel.print + per-model print)."""
+        ghz = self.carrierFreq / 1e9
+        return [("carrierFreq", f"{ghz:g} GHz"),
+                ("normalizeGains", self.normalizeGains),
+                ("normalizeOutput", self.normalizeOutput),
+                ("txDir", self.txDir),
+                ("filterLen", f"{self.filterLen} samples"),
+                ("delayQuantSize", self.delayQuantSize),
+                ("stopBandAtten", f"{self.stopBandAtten} dB"),
+                ("dopplerShift", f"{self.dopplerShift:g} Hz"),
+                ("coherenceTime", f"{self.coherenceTime * 1e3:.3f} "
+                                  "milliseconds")]
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        from ..utils import format_properties
+        s = format_properties(
+            title or f"{type(self).__name__} Properties:",
+            self._print_rows(), indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     # ------------------------------------------------------------- timing
     @property
     def coherenceTime(self) -> float:

@@ -293,6 +293,64 @@ class CdlChannel(ChannelBase):
         coupling[1] = np.take_along_axis(coupling[1], coupling[2], axis=-1)
         return phiInit, np.int32(coupling)
 
+    # ------------------------------------------------------------ printing
+    def _print_rows(self):
+        import numpy as _np
+        def deg(x):
+            return _np.degrees(_np.asarray(x, float))
+        def numlist(a, fmt="{:.4g}", perRow=12):
+            a = list(_np.asarray(a).reshape(-1))
+            rows = [" ".join(fmt.format(x) for x in a[i:i + perRow])
+                    for i in range(0, len(a), perRow)]
+            return ("\n" + 24 * " ").join(rows)
+        rows = super()._print_rows()
+        rows += [
+            ("delaySpread", f"{self.delaySpread:g} ns"),
+            ("ueDirAZ", ", ".join(f"{d:g}\u00b0" for d in deg(self.ueDirAZ))),
+            ("Cross Pol. Power", f"{self.xPolPower:g} dB"),
+            ("angleSpreads", " ".join(f"{d:g}\u00b0"
+                                      for d in deg(self.angleSpreads))),
+            (None, self._antenna_block("TX Antenna:", self.txAntenna,
+                                       self.txOrientation,
+                                       getattr(self, "_printIndent", 0))),
+            (None, self._antenna_block("RX Antenna:", self.rxAntenna,
+                                       self.rxOrientation,
+                                       getattr(self, "_printIndent", 0))),
+            ("hasLOS", self.hasLos),
+            (f"NLOS Paths ({self.n})", ""),
+            ("  Delays (ns)", numlist(self.pathDelays)),
+            ("  Powers (dB)", numlist(self.pathPowers)),
+            ("  AODs (Deg)", numlist(deg(self.aods), "{:.0f}")),
+            ("  AOAs (Deg)", numlist(deg(self.aoas), "{:.0f}")),
+            ("  ZODs (Deg)", numlist(deg(self.zods), "{:.0f}")),
+            ("  ZOAs (Deg)", numlist(deg(self.zoas), "{:.0f}"))]
+        return rows
+
+    def _antenna_block(self, title, ant, orientation, indent=0):
+        import numpy as _np
+        from ..utils import format_properties
+        rows = [("Total Elements", ant.getNumElements())]
+        if hasattr(ant, "shape"):
+            rows += [("spacing", ", ".join(f"{s:g}\u03bb"
+                                           for s in _np.ravel(ant.spacing))),
+                     ("shape", f"{ant.shape[0]} rows x {ant.shape[1]} columns"),
+                     ("polarization", getattr(ant, "polarization", "|"))]
+        ori = _np.degrees(_np.asarray(orientation, float))
+        rows.append(("Orientation (\u03b1,\u03b2,\u03b3)",
+                     " ".join(f"{d:g}\u00b0" for d in ori)))
+        return format_properties(title, rows, indent + 2)
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        from ..utils import format_properties
+        self._printIndent = indent
+        s = format_properties(
+            title or f"CDL-{self.profile or 'Custom'} Channel Properties:",
+            self._print_rows(), indent)
+        if getStr:
+            return s
+        print(s)
+
     # --------------------------------------------------------------- state
     def init_state(self, key):
         """Per-trial random state: coupled ray angles (3, n*m — the phiA /

@@ -199,6 +199,39 @@ class TdlChannel(ChannelBase):
         self.correlationMatrix = cm
         self._finalize()
 
+    # ------------------------------------------------------------ printing
+    def _print_rows(self):
+        import numpy as _np
+        def numlist(a, fmt="{:.4g}", perRow=12):
+            a = list(_np.asarray(a).reshape(-1))
+            rows = [" ".join(fmt.format(x) for x in a[i:i + perRow])
+                    for i in range(0, len(a), perRow)]
+            return ("\n" + 24 * " ").join(rows)
+        rows = super()._print_rows()
+        rows += [("delaySpread", f"{self.delaySpread:g} ns"),
+                 ("txAntennaCount", self.txAntennaCount),
+                 ("rxAntennaCount", self.rxAntennaCount),
+                 ("mimoCorrelation", self.mimoCorrelation),
+                 ("polarization", self.polarization),
+                 ("sosType", f"{self.sosType} ({self.sosNumSins} sinusoids)"),
+                 ("hasLOS", self.hasLos),
+                 ("kFactor", None if self.kFactor is None
+                  else f"{self.kFactor:g} dB"),
+                 (f"Paths ({self.numPaths})", ""),
+                 ("  Delays (ns)", numlist(self.pathDelays)),
+                 ("  Powers (dB)", numlist(self.pathPowers))]
+        return rows
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        from ..utils import format_properties
+        s = format_properties(
+            title or f"TDL-{self.profile} Channel Properties:",
+            self._print_rows(), indent)
+        if getStr:
+            return s
+        print(s)
+
     # ----------------------------------------------------------------- host
     @property
     def nrNt(self):

@@ -152,6 +152,30 @@ class Trajectory:
     def goNext(self):
         self.curIdx += 1
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (Trajectory.print,
+        trjchan.py)."""
+        from ..utils import format_properties
+        s = format_properties(
+            title or "Trajectory Properties:",
+            [("numPoints", self.numPoints),
+             ("carrierFreq", f"{self.carrierFreq / 1e9:g} GHz"),
+             ("time", f"{self.time:.6g} seconds"),
+             ("totalDist", f"{self.totalDist:.6g} meters"),
+             ("Avg. Speed", f"{self.totalDist / self.time:.4g} m/s"
+              if self.time else None),
+             ("numLOS / blockage", f"{self.numLOS} / {self.numBlockage}"),
+             ("paths (min/avg/max)",
+              f"{self.minPaths} / {self.avgPaths:.2f} / {self.maxPaths}")],
+            indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def draw(self, ax=None):
         """Plot the trajectory's (x, y) path; the starting point is a red
         dot (reference trjchan.py:434-476). Requires matplotlib; returns

@@ -135,6 +135,33 @@ class LdpcConfig:
 
         self._rm_cache = {}
 
+    # ------------------------------------------------------------ printing
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (LdpcBase.print, ldpc.py)."""
+        from ..utils import format_properties
+        s = format_properties(
+            title or "LDPC Properties:",
+            [("baseGraphNo", self.baseGraphNo),
+             ("payloadSize (A)", self.payloadSize),
+             ("txBlockSize (B)", self.txBlockSize),
+             ("numCodeBlocks (C)", self.numCodeBlocks),
+             ("codeBlockSize (K)", self.codeBlockSize),
+             ("liftingSize (Zc)", self.liftingSize),
+             ("setIndex (iLS)", self.setIndex),
+             ("numFillerBits", self.numFillerBits),
+             ("modulation", self.modulation),
+             ("txLayers", self.txLayers),
+             ("targetRate", f"{self.targetRate:.4f}"),
+             ("G (rate-matched bits)", self.G),
+             ("cirBufSize", self.cirBufSize)], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     # ------------------------------------------------------------ indices
     def k0(self, rv: int) -> int:
         if rv not in (0, 1, 2, 3):
@@ -256,6 +283,14 @@ def _gather_info(obj, cols, shifts):
 # ======================================================================
 class LdpcEncoder:
     """Device LDPC encoder: TB CRC -> segmentation -> encode -> rate match."""
+
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        return self.cfg.print(indent, title or "LDPC Encoder Properties:", getStr)
+
+    def __repr__(self):
+        return self.print(getStr=True)
 
     def __init__(self, config: LdpcConfig):
         self.cfg = config
@@ -414,6 +449,14 @@ class LdpcEncoder:
 class LdpcDecoder:
     """Device LDPC decoder: rate recovery (+HARQ combine) -> layered min-sum
     decode -> CRC check & merge."""
+
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        return self.cfg.print(indent, title or "LDPC Decoder Properties:", getStr)
+
+    def __repr__(self):
+        return self.print(getStr=True)
 
     def __init__(self, config: LdpcConfig):
         self.cfg = config

@@ -84,6 +84,30 @@ class PolarConfig:
         self._derive(payloadSize, rateMatchedLen)
 
     # ------------------------------------------------------------ derivation
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (PolarBase.print, polar.py)."""
+        from ..utils import format_properties
+        s = format_properties(
+            title or "Polar Coding Properties:",
+            [("dataType", self.dataType),
+             ("payloadSize (A)", getattr(self, "payloadSize", None)),
+             ("rateMatchedLen (E)", getattr(self, "rateMatchedLen", None)),
+             ("N (codeword length)", getattr(self, "N", None)),
+             ("K (info + crc)", getattr(self, "K", None)),
+             ("nMax", self.nMax),
+             ("iIL", self.iIL),
+             ("iBIL", self.iBIL),
+             ("iSeg", getattr(self, "iSeg", None)),
+             ("nPC", getattr(self, "nPC", None)),
+             ("crcPoly", getattr(self, "crcPoly", None))], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def _derive(self, a: int, eTot: int):
         self.payloadSize = a = int(a)
         self.rateMatchedLen = eTot = int(eTot)

@@ -213,6 +213,41 @@ class CsiReport:
         _validate(self.cqiTable, [1, 2, 3, 4], "cqiTable")
         self._cb_cache = {}
 
+    # ------------------------------------------------------------ printing
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (CsiReport.print,
+        csifeedback.py)."""
+        from ..utils import format_properties
+        rows = [("reportId", self.reportId),
+                ("reportType", self.reportType),
+                ("period", self.period),
+                ("offset", self.offset),
+                ("quantity", self.quantity),
+                ("codebookType", self.codebookType),
+                ("n1 x n2", f"{self.n1} x {self.n2}"),
+                ("o1 x o2", f"{self.o1} x {self.o2}"),
+                ("ng", self.ng if self.codebookType == "Type1MP" else None),
+                ("codebookMode", self.codebookMode),
+                ("numPorts", self.numPorts),
+                ("cbSubsetRestriction", self.cbSubsetRestriction),
+                ("cbRiRestriction", self.cbRiRestriction)]
+        if self.codebookType == "Type2":
+            rows += [("numBeams", self.numBeams),
+                     ("pskSize", self.pskSize),
+                     ("subbandAmp", self.subbandAmp)]
+        rows += [("prgSize", self.prgSize),
+                 ("subbandSizePmi", self.subbandSizePmi),
+                 ("subbandSizeCqi", self.subbandSizeCqi),
+                 ("cqiTable", self.cqiTable)]
+        s = format_properties(title or "CSI Report Properties:", rows, indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     # ----------------------------------------------------------- DFT beams
     def v(self, l, m, tilde=False):
         if tilde:

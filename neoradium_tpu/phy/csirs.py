@@ -91,6 +91,29 @@ class CsiRs:
         self.scramblingID = kwargs.get("scramblingID", 0)
         self.mySet: CsiRsSet | None = None
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (CsiRs.print, csirs.py)."""
+        from ..utils import format_properties
+        s = format_properties(
+            title or "CSI-RS Properties:",
+            [("resourceId", self.resourceId),
+             ("row", self.row),
+             ("numPorts", self.numPorts),
+             ("cdmSize", self.cdmSize),
+             ("density", self.density),
+             ("offset", self.offset),
+             ("subcarriers (k)", list(self.ks)),
+             ("symbols (l)", list(self.ls)),
+             ("powerDb", self.powerDb),
+             ("scramblingID", self.scramblingID)], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def _default_kmap(self) -> str:
         return {1: "1000" if self.density == 3 else "000000001000",
                 2: "001000", 4: "010", 8: "010100",
@@ -249,6 +272,29 @@ class CsiRsSet:
         self.csiRsList: list[CsiRs] = []
         self.addCsiRs(kwargs.get("csiRsList", [CsiRs(**kwargs)]))
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (CsiRsSet.print, csirs.py)."""
+        from ..utils import format_properties
+        rows = [("csiType", self.csiType),
+                ("rsId", self.rsId),
+                ("resourceType", self.resourceType),
+                ("period", getattr(self, "period", None)),
+                ("startRb", self.startRb),
+                ("numRbs", self.numRbs),
+                ("numPorts", self.numPorts)]
+        for r in self.csiRsList:
+            rows.append((None, r.print(indent + 2, "CSI-RS Resource:",
+                                       getStr=True)))
+        s = format_properties(title or "CSI-RS Resource Set Properties:",
+                              rows, indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def addCsiRs(self, csiRsList):
         for csiRs in csiRsList:
             if csiRs.offset not in range(self.period):
@@ -282,6 +328,24 @@ class CsiRsConfig:
             if carrier is not None:
                 csiType = kwargs.pop("csiType", "NZP")
                 self.csiRsSetList = [CsiRsSet(csiType, carrier, **kwargs)]
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (CsiRsConfig.print, csirs.py)."""
+        from ..utils import format_properties
+        rows = [("Resource Sets", len(self.csiRsSetList)),
+                ("numPorts", self.numPorts)]
+        for s_ in self.csiRsSetList:
+            rows.append((None, s_.print(indent + 2, "Resource Set:",
+                                        getStr=True)))
+        s = format_properties(title or "CSI-RS Configuration Properties:",
+                              rows, indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
 
     def addCsiResourceSets(self, sets):
         self.csiRsSetList += list(sets)

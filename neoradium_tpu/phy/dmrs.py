@@ -225,6 +225,29 @@ class DmrsConfig:
     epreRatioDb: float | None = None
     enhanced: bool = False
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (DMRS.print, dmrs.py)."""
+        from ..utils import format_properties
+        s = format_properties(
+            title or "DMRS Properties:",
+            [("configType", self.configType),
+             ("nIDs", list(self.nIDs)),
+             ("scID", self.scID),
+             ("sameSeq", int(self.sameSeq)),
+             ("symbols", "Single" if self.symbols == 1 else "Double"),
+             ("typeA1stPos", self.typeA1stPos),
+             ("additionalPos", self.additionalPos),
+             ("otherCdmGroups", list(self.otherCdmGroups) or None),
+             ("epreRatioDb", f"{self.epre_ratio_db([0]):g} (dB)")],
+            indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def __post_init__(self):
         if self.configType not in (1, 2):
             raise ValueError("DMRS configType must be 1 or 2")

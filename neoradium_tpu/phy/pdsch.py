@@ -267,6 +267,49 @@ class PdschConfig:
                 out.append(int(c8 * np.ceil((npInfo + 24) / c8)) - 24)
         return out
 
+    # ------------------------------------------------------------- printing
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (PDSCH.print, pdsch.py)."""
+        import numpy as _np
+        from ..utils import format_properties
+
+        def _intlist(a, perRow=20):
+            a = list(_np.asarray(a).reshape(-1))
+            rows = [" ".join(f"{int(x):3d}" for x in a[i:i + perRow])
+                    for i in range(0, len(a), perRow)]
+            pad = "\n" + " " * (indent + 12)
+            return pad.join(rows)
+
+        rows = [("mappingType", self.mappingType),
+                ("nID", self.nID),
+                ("rnti", self.rnti),
+                ("numLayers", self.numLayers),
+                ("numCodewords", self.numCW),
+                ("modulation", "/".join(m.modulation for m in self.modems)),
+                ("portSet", list(self.portSet)),
+                ("symSet", _intlist(self.symSet)),
+                ("prbSet", _intlist(self.prbSet)),
+                ("interleavingBundleSize", self.interleavingBundleSize),
+                ("PRG Size", "Wideband" if self.prgSize == 0 else self.prgSize),
+                (None, self.carrier.print(indent + 2, "Bandwidth Part:",
+                                          getStr=True))]
+        if self.dmrs is not None:
+            rows.append((None, self.dmrs.print(indent + 2, "DMRS:",
+                                               getStr=True)))
+        if self.ptrs is not None:
+            rows.append((None, self.ptrs.print(indent + 2, "PTRS:",
+                                               getStr=True))
+                        if hasattr(self.ptrs, "print") else
+                        ("PTRS", repr(self.ptrs)))
+        s = format_properties(title or "PDSCH Properties:", rows, indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     # ------------------------------------------------------------- precoder
     def getPrecodingMatrix(self, channelMatrix: np.ndarray) -> np.ndarray:
         """Time/freq-averaged SVD precoder (reference pdsch.py:1080-1165).

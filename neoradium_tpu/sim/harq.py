@@ -96,6 +96,25 @@ class HarqEntity:
         print(HarqEntity.format_stats(ent.stats(st)))
     """
 
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Reference-style property listing (HarqEntity.print, harq.py);
+        per-try statistics come from stats()/format_stats."""
+        from ..utils import format_properties
+        c = self.cfg
+        s = format_properties(
+            title or "HARQ Entity Properties:",
+            [("numProc", c.numProc),
+             ("maxTries", c.maxTries),
+             ("harqType", c.harqType),
+             ("rvSequence", list(c.rvSequence))], indent)
+        if getStr:
+            return s
+        print(s)
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def __init__(self, coders, cfg: HarqConfig | None = None):
         self.cfg = cfg or HarqConfig()
         self.coders = list(coders)

@@ -99,3 +99,39 @@ def polar_interp1d_batched(x: jnp.ndarray, y: jnp.ndarray, x_new: jnp.ndarray) -
     theta_new = interp1d_batched(x, theta, x_new)
     r_new = interp1d_batched(x, r, x_new)
     return r_new * (jnp.cos(theta_new) + 1j * jnp.sin(theta_new))
+
+
+# ------------------------------------------------------------ pretty print
+def format_properties(title: str, rows, indent: int = 0) -> str:
+    """Reference-style property block (every reference class has a
+    ``print(indent, title, getStr)`` pretty-printer; this is the shared
+    layout helper for ours). ``rows`` is a list of (label, value) pairs —
+    a value of None skips the row, a nested string (from another
+    format_properties) is inlined as-is."""
+    pad = indent * " "
+    out = [f"{pad}{title}"]
+    width = max((len(l) for l, v in rows
+                 if v is not None and l is not None), default=0) + 1
+    for label, value in rows:
+        if value is None:
+            continue
+        s = str(value)
+        if label is None:
+            out.append(s)                      # nested pre-formatted block
+        elif "\n" in s:
+            first, *rest = s.split("\n")
+            out.append(f"{pad}  {label + ':':{width + 1}s} {first}")
+            out.extend(rest)                   # continuation rows carry pad
+        else:
+            out.append(f"{pad}  {label + ':':{width + 1}s} {s}")
+    return "\n".join(out)
+
+
+def print_properties(obj_print, indent=0, title=None, getStr=False):
+    """Shared driver for the per-class ``print`` methods: ``obj_print``
+    returns the formatted string; mirrors the reference's
+    print(indent, title, getStr) convention."""
+    s = obj_print(indent, title)
+    if getStr:
+        return s
+    print(s)

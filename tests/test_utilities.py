@@ -122,3 +122,49 @@ def test_cdl_chan_gen_reproducible():
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
     assert not np.allclose(a[0], a[1])      # different random channels
+
+
+def test_pretty_printers():
+    """Every major class carries the reference's print(indent, title,
+    getStr) pretty-printer convention; smoke every one and check the
+    shared layout helper."""
+    import jax
+    import numpy as np
+    import neoradium_tpu as nr
+    from neoradium_tpu.coding.ldpc import LdpcConfig, LdpcEncoder, LdpcDecoder
+    from neoradium_tpu.coding.polar import PolarConfig
+    from neoradium_tpu.sim.harq import HarqConfig, HarqEntity
+    from neoradium_tpu.channels.trajectory import TrjPoint, Trajectory
+    from neoradium_tpu.phy.dmrs import DmrsConfig
+
+    car = nr.CarrierConfig(numRbs=24, spacing=30)
+    pdsch = nr.PdschConfig(car, numLayers=2, modulation="16QAM")
+    pdsch.setDMRS(configType=2, additionalPos=2)
+    csi = nr.CsiRsConfig(carrier=car, numPorts=8)
+    ldpcCfg = LdpcConfig(1000, 1, "QPSK", 1, 0.5)
+    objs = [
+        car, nr.Carrier(numRbs=24, spacing=30), pdsch,
+        DmrsConfig(configType=2, additionalPos=2),
+        nr.AntennaPanel((2, 2), polarization="x"),
+        nr.CdlChannel(car, "C", delaySpread=300,
+                      txAntenna=nr.AntennaPanel((2, 2), polarization="x"),
+                      rxAntenna=nr.AntennaPanel((1, 1), polarization="x")),
+        nr.TdlChannel(car, "B", delaySpread=100, txAntennaCount=2,
+                      rxAntennaCount=2),
+        csi, nr.CsiReport(csi, n1=4, n2=1),
+        nr.CsiReport(csi, n1=4, n2=1, codebookType="Type2"),
+        ldpcCfg, LdpcEncoder(ldpcCfg), LdpcDecoder(ldpcCfg),
+        PolarConfig(32, 100, "uci"),
+        HarqEntity([(LdpcEncoder(ldpcCfg), LdpcDecoder(ldpcCfg))],
+                   HarqConfig()),
+        Trajectory([TrjPoint(xyz=np.array([0.0, 0.0, 1.5])),
+                    TrjPoint(xyz=np.array([1.0, 0.0, 1.5]),
+                             sampleNo=30720)], 3.5e9),
+    ]
+    for o in objs:
+        s = o.print(getStr=True)
+        assert isinstance(s, str) and "Properties:" in s and "\n  " in s, type(o)
+        assert repr(o) == s
+        # indent shifts every line
+        s2 = o.print(indent=4, getStr=True)
+        assert all(line.startswith("    ") for line in s2.splitlines() if line)
