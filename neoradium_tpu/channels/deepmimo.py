@@ -94,6 +94,37 @@ class DeepMimoData:
         self.numLOS = sum(1 for p in self.allTrjPoints if p.hasLos == 1)
 
     # ----------------------------------------------------------------- loaders
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        """Scenario summary (reference DeepMimoData.print /
+        showScenarioInfo, deepmimo.py)."""
+        import numpy as _np
+        from ..utils import format_properties
+        n = [p.numPaths for p in self.allTrjPoints]
+        los = sum(1 for p in self.allTrjPoints if p.hasLos == 1)
+        blk = sum(1 for p in self.allTrjPoints if p.numPaths == 0)
+        s = format_properties(
+            title or "DeepMIMO Scenario Properties:",
+            [("scenario", self.scenario),
+             ("version", self.version),
+             ("carrierFreq", f"{self.carrierFreq / 1e9:g} GHz"),
+             ("BS position", list(_np.round(self.bsXyz, 3))),
+             ("grid size", f"{self.gridSize[0]} x {self.gridSize[1]}"),
+             ("grid spacing", list(_np.round(self.delta, 3))),
+             ("numGridPoints", self.numGridPoints),
+             ("xy bounds", f"{list(_np.round(self.xyMin, 2))} .. "
+              f"{list(_np.round(self.xyMax, 2))}"),
+             ("paths (max)", self.maxPaths),
+             ("LOS / blockage points", f"{los} / {blk}")], indent)
+        if getStr:
+            return s
+        print(s)
+
+    showScenarioInfo = print
+
+    def __repr__(self):
+        return self.print(getStr=True)
+
     def loadV1(self, folder: str):
         """Legacy per-file format (reference loadV1:162-253)."""
         import scipy.io

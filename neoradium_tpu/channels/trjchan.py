@@ -42,6 +42,26 @@ _C = 299792458.0
 class TrjChannel(ChannelBase):
     """Deterministic ray-traced channel along a trajectory (one point/slot)."""
 
+    def _print_rows(self):
+        rows = super()._print_rows()
+        rows += [("xPolPower", f"{self.xPolPower:g} dB"),
+                 ("normalizeDelays", self.normalizeDelays),
+                 (None, self.trajectory.print(
+                     getattr(self, "_printIndent", 0) + 2, "Trajectory:",
+                     getStr=True))]
+        return rows
+
+    def print(self, indent: int = 0, title: str | None = None,
+              getStr: bool = False):
+        from ..utils import format_properties
+        self._printIndent = indent
+        s = format_properties(
+            title or "Trajectory Channel Properties:",
+            self._print_rows(), indent)
+        if getStr:
+            return s
+        print(s)
+
     def __init__(self, carrier, trajectory, **kwargs):
         kwargs.setdefault("rxOrientation", [0, 0, 0])
         super().__init__(carrier, **kwargs)

@@ -161,6 +161,14 @@ def test_pretty_printers():
                     TrjPoint(xyz=np.array([1.0, 0.0, 1.5]),
                              sampleNo=30720)], 3.5e9),
     ]
+    from neoradium_tpu.channels.trjchan import TrjChannel
+    pi = np.asarray([[0.0, 100.0, -3.0, 10.0, 90.0, 20.0, 100.0, 1.0]])
+    pts = [TrjPoint(xyz=np.array([float(i), 0.0, 1.5]), hasLos=0, pathInfo=pi,
+                    speed=[3.0, 0.0, 0.0], sampleNo=i * car.slotLen(0))
+           for i in range(3)]
+    objs.append(TrjChannel(car, Trajectory(pts, 3.5e9),
+                           txAntenna=nr.AntennaPanel((2, 1), polarization="x"),
+                           rxAntenna=nr.AntennaPanel((1, 1), polarization="x")))
     for o in objs:
         s = o.print(getStr=True)
         assert isinstance(s, str) and "Properties:" in s and "\n  " in s, type(o)
